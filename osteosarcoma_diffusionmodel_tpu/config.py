@@ -1,0 +1,360 @@
+"""Typed configuration system.
+
+Loads the same YAML schema as the reference (`config/config.yaml`,
+reference main.py:372-373) into a tree of dataclasses, resolving the
+reference's known config inconsistencies deliberately:
+
+- ``condition_on`` is authoritative (reference declares 3 names at
+  config.yaml:51-54 but utils/train.py:395 hard-codes 4); we map the
+  config names onto clinical columns and drop unavailable ones.
+- ``generation.sampling_steps`` / ``loss_type`` are honored (unused in
+  the reference, see reference config.yaml:47,120-121).
+- Dims discovered from data are frozen into :class:`FrozenDims` before
+  jit compilation ("discover dims -> freeze -> compile once"), then
+  persisted to ``config_updated.yaml`` exactly like reference
+  main.py:183-184.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+# Mapping from config `condition_on` names to clinical CSV columns.
+# The reference uses `survival_days_norm`/`age_years` internally
+# (utils/train.py:390-398) while the config speaks `survival_time`/`age`.
+CONDITION_COLUMN_MAP = {
+    "survival_time": "survival_days_norm",
+    "event_occurred": "event_occurred",
+    "age": "age_years",
+    "metastasis_at_diagnosis": "metastasis_at_diagnosis",
+}
+
+
+@dataclass
+class DownloadConfig:
+    mutations: bool = True
+    rna_seq: bool = True
+    clinical: bool = True
+    copy_number: bool = False
+
+
+@dataclass
+class DataConfig:
+    gdc_project: str = "TARGET-OS"
+    data_dir: str = "./data"
+    raw_dir: str = "./data/raw"
+    processed_dir: str = "./data/processed"
+    download: DownloadConfig = field(default_factory=DownloadConfig)
+    min_samples_per_gene: int = 3
+    min_var_expression: float = 0.1
+    pathway_database: str = "msigdb_hallmark"
+
+
+@dataclass
+class GNNConfig:
+    # Kept for config-schema parity with the reference (config.yaml:37-41).
+    # Only `dropout` feeds the denoiser, matching reference diffusion.py:294.
+    type: str = "GAT"
+    num_layers: int = 3
+    heads: int = 4
+    dropout: float = 0.2
+
+
+@dataclass
+class DiffusionConfig:
+    num_steps: int = 1000
+    beta_schedule: str = "cosine"  # linear | cosine | sigmoid
+    loss_type: str = "l2"  # l1 | l2 | huber (honored, unlike the reference)
+
+
+@dataclass
+class ConstraintConfig:
+    pathway_coherence_weight: float = 1.0
+    mutation_expression_weight: float = 0.5
+    survival_prediction_weight: float = 0.3
+    gene_network_weight: float = 0.2
+    # Real constraint losses are implemented (the reference stubs them to
+    # 0.0 at cvae.py:281-283,300-302). Set False to reproduce the
+    # reference's effective behavior exactly.
+    enabled: bool = True
+
+
+@dataclass
+class ModelConfig:
+    architecture: str = "diffusion"  # diffusion | cvae
+    n_genes: Optional[int] = None
+    n_genes_mutation: Optional[int] = None
+    n_genes_expression: Optional[int] = None
+    n_pathways: Optional[int] = None
+    n_conditions: Optional[int] = None
+    latent_dim: int = 128
+    hidden_dims: List[int] = field(default_factory=lambda: [256, 512, 256])
+    gnn: GNNConfig = field(default_factory=GNNConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    conditional: bool = True
+    condition_on: List[str] = field(
+        default_factory=lambda: [
+            "survival_time",
+            "event_occurred",
+            "metastasis_at_diagnosis",
+        ]
+    )
+    constraints: ConstraintConfig = field(default_factory=ConstraintConfig)
+    # TPU-specific: computation dtype for the denoiser matmuls. Params
+    # stay float32; bfloat16 compute maps onto the MXU natively.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass
+class AugmentationConfig:
+    mixup_alpha: float = 0.2
+    pathway_noise: float = 0.05
+    cross_cancer_pretrain: bool = False
+    pretrain_datasets: List[str] = field(default_factory=list)
+
+
+@dataclass
+class TrainingConfig:
+    batch_size: int = 16
+    num_epochs: int = 2000
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-5
+    patience: int = 100
+    min_delta: float = 1e-4
+    augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
+    val_split: float = 0.2
+    test_split: float = 0.1
+    random_seed: int = 42
+    save_dir: str = "./results/checkpoints"
+    save_frequency: int = 10
+    # LR plateau scheduler (reference train.py:176-181).
+    lr_plateau_factor: float = 0.5
+    lr_plateau_patience: int = 10
+    grad_clip_norm: float = 1.0
+    # TPU data parallelism: number of mesh devices; None = all available.
+    num_devices: Optional[int] = None
+
+
+@dataclass
+class CorrelationRule:
+    mutation: str
+    pathway: str
+    direction: str  # positive | negative
+
+
+@dataclass
+class EvaluationConfig:
+    mmd_kernel: str = "rbf"
+    ks_test_pathways: bool = True
+    check_mutation_cooccurrence: bool = True
+    check_pathway_coherence: bool = True
+    check_driver_mutations: bool = True
+    driver_genes: List[str] = field(
+        default_factory=lambda: ["TP53", "RB1", "ATRX", "DLG2", "PTEN"]
+    )
+    mutually_exclusive_pairs: List[List[str]] = field(
+        default_factory=lambda: [["TP53", "MDM2"]]
+    )
+    required_correlations: List[CorrelationRule] = field(
+        default_factory=lambda: [
+            CorrelationRule("TP53", "HALLMARK_P53_PATHWAY", "negative"),
+            CorrelationRule("MYC", "HALLMARK_MYC_TARGETS_V1", "positive"),
+        ]
+    )
+
+
+@dataclass
+class Scenario:
+    name: str
+    conditions: Dict[str, float]
+
+
+@dataclass
+class GenerationConfig:
+    num_synthetic_samples: int = 1000
+    guidance_scale: float = 7.5
+    sampling_steps: int = 50
+    # "ddpm" runs the full num_steps ancestral loop (reference default
+    # behavior, diffusion.py:446-447); "ddim" honors sampling_steps.
+    sampler: str = "ddpm"
+    # "fixed" reproduces reference generate.py:66 ((x-800)/500);
+    # "train_stats" uses the checkpointed train-time normalization.
+    condition_normalization: str = "train_stats"
+    scenarios: List[Scenario] = field(
+        default_factory=lambda: [
+            Scenario(
+                "early_stage_good_prognosis",
+                {"survival_time": 2000, "event_occurred": 0, "metastasis_at_diagnosis": 0},
+            ),
+            Scenario(
+                "metastatic_poor_prognosis",
+                {"survival_time": 300, "event_occurred": 1, "metastasis_at_diagnosis": 1},
+            ),
+            Scenario(
+                "typical_patient",
+                {"survival_time": 800, "event_occurred": 0, "metastasis_at_diagnosis": 0},
+            ),
+        ]
+    )
+
+
+@dataclass
+class OutputConfig:
+    results_dir: str = "./results"
+    figures_dir: str = "./results/figures"
+    models_dir: str = "./results/models"
+    synthetic_data_dir: str = "./results/synthetic"
+    export_formats: List[str] = field(default_factory=lambda: ["csv"])
+
+
+@dataclass
+class FrozenDims:
+    """Static dims frozen from data before jit compilation.
+
+    Mirrors the reference's mutable-config dance (train.py:439-442,
+    main.py:126-150) but as an immutable record: jit requires static
+    shapes, so dims are discovered once and frozen.
+    """
+
+    mutation_dim: int
+    expression_dim: int
+    pathway_dim: int
+    condition_dim: int
+    condition_names: List[str] = field(default_factory=list)
+    # Train-time normalization stats, persisted so generation can encode
+    # scenario conditions consistently (see GenerationConfig).
+    survival_mean: float = 800.0
+    survival_std: float = 500.0
+
+    @property
+    def data_dim(self) -> int:
+        return self.mutation_dim + self.expression_dim + self.pathway_dim
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
+    generation: GenerationConfig = field(default_factory=GenerationConfig)
+    output: OutputConfig = field(default_factory=OutputConfig)
+
+    # ------------------------------------------------------------------
+    # YAML round-trip
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "Config":
+        return cls(
+            data=_build(DataConfig, raw.get("data", {}), {"download": DownloadConfig}),
+            model=_build(
+                ModelConfig,
+                raw.get("model", {}),
+                {
+                    "gnn": GNNConfig,
+                    "diffusion": DiffusionConfig,
+                    "constraints": ConstraintConfig,
+                },
+            ),
+            training=_build(
+                TrainingConfig,
+                raw.get("training", {}),
+                {"augmentation": AugmentationConfig},
+            ),
+            evaluation=_build_evaluation(raw.get("evaluation", {})),
+            generation=_build_generation(raw.get("generation", {})),
+            output=_build(OutputConfig, raw.get("output", {}), {}),
+        )
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "Config":
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.from_dict(raw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_yaml(self, path: str | Path) -> None:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    # ------------------------------------------------------------------
+    # Dim freezing
+    # ------------------------------------------------------------------
+    def freeze_dims(
+        self,
+        mutation_dim: int,
+        expression_dim: int,
+        pathway_dim: int,
+        condition_names: List[str],
+        survival_mean: float = 800.0,
+        survival_std: float = 500.0,
+    ) -> FrozenDims:
+        dims = FrozenDims(
+            mutation_dim=mutation_dim,
+            expression_dim=expression_dim,
+            pathway_dim=pathway_dim,
+            condition_dim=len(condition_names),
+            condition_names=list(condition_names),
+            survival_mean=float(survival_mean),
+            survival_std=float(survival_std),
+        )
+        # Mirror back into the config (reference train.py:439-442) so the
+        # persisted config_updated.yaml self-describes the checkpoint.
+        self.model.n_genes_mutation = mutation_dim
+        self.model.n_genes_expression = expression_dim
+        self.model.n_pathways = pathway_dim
+        self.model.n_conditions = dims.condition_dim
+        return dims
+
+    def resolve_condition_columns(self, available_columns: List[str]) -> List[str]:
+        """Map ``condition_on`` names onto available clinical columns."""
+        resolved = []
+        for name in self.model.condition_on:
+            col = CONDITION_COLUMN_MAP.get(name, name)
+            if col in available_columns:
+                resolved.append(col)
+        return resolved
+
+
+def _build(cls, raw: Dict[str, Any], nested: Dict[str, type]):
+    """Construct dataclass `cls` from dict, ignoring unknown keys."""
+    if not isinstance(raw, dict):
+        raw = {}
+    known = {f.name for f in dataclasses.fields(cls)}
+    kwargs: Dict[str, Any] = {}
+    for key, value in raw.items():
+        if key not in known:
+            continue
+        if key in nested and isinstance(value, dict):
+            kwargs[key] = _build(nested[key], value, {})
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def _build_evaluation(raw: Dict[str, Any]) -> EvaluationConfig:
+    cfg = _build(EvaluationConfig, raw, {})
+    rules = raw.get("required_correlations")
+    if rules is not None:
+        cfg.required_correlations = [
+            CorrelationRule(r["mutation"], r["pathway"], r["direction"]) for r in rules
+        ]
+    return cfg
+
+
+def _build_generation(raw: Dict[str, Any]) -> GenerationConfig:
+    cfg = _build(GenerationConfig, raw, {})
+    scenarios = raw.get("scenarios")
+    if scenarios is not None:
+        cfg.scenarios = [
+            Scenario(s["name"], dict(s["conditions"])) for s in scenarios
+        ]
+    return cfg

@@ -1,0 +1,203 @@
+"""Biological constraint losses — implemented for real.
+
+The reference documents these losses but stubs them to ``0.0``
+(reference models/cvae.py:262-283 `pathway_coherence_loss`,
+cvae.py:285-302 `mutation_expression_correlation_loss`). Here they are
+real, differentiable, jit-compatible jnp functions wired into BOTH
+model families behind the config weights (reference config.yaml:57-61):
+
+- **pathway coherence**: genes in the same pathway should co-vary. We
+  compute the mean pairwise within-pathway batch correlation via a
+  single masked matmul (no per-pathway Python loop): with Z the
+  batch-standardized expression (B, G) and M the binary gene-pathway
+  matrix (G, P), sum_{i,j in p} corr(i,j) = ||Z M||^2_col / B, an MXU
+  matmul instead of a G x G correlation matrix.
+- **mutation-expression correlation**: directional rules
+  (config.yaml:110-116, e.g. TP53 mutation -> P53 pathway down) become
+  hinge penalties on the batch correlation between the reconstructed
+  mutation column and pathway-score column.
+- **mutual exclusivity**: penalize expected co-occurrence mass of
+  configured pairs (config.yaml:107-108).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-8
+
+
+@dataclass(frozen=True)
+class ConstraintSpec:
+    """Static, host-prepared index structures for the constraint losses.
+
+    All members are plain numpy so the spec hashes as a jit-static
+    closure; empty arrays disable the corresponding loss gracefully.
+    """
+
+    mutation_dim: int
+    expression_dim: int
+    pathway_dim: int
+    # (G_expr, P_used) float32 binary membership over *expression columns*.
+    pathway_mask: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 0), np.float32)
+    )
+    # (K, 2) indices into the mutation block for mutually-exclusive pairs.
+    exclusive_pairs: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 2), np.int32)
+    )
+    # Directional rules: mutation column index, pathway column index,
+    # sign (+1 expected positive corr, -1 expected negative).
+    rule_mutation_idx: np.ndarray = field(
+        default_factory=lambda: np.zeros((0,), np.int32)
+    )
+    rule_pathway_idx: np.ndarray = field(
+        default_factory=lambda: np.zeros((0,), np.int32)
+    )
+    rule_sign: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+
+    @staticmethod
+    def build(
+        mutation_genes: Sequence[str],
+        expression_genes: Sequence[str],
+        pathway_names: Sequence[str],
+        gene_sets: Optional[dict] = None,
+        exclusive_gene_pairs: Optional[List[List[str]]] = None,
+        correlation_rules: Optional[List] = None,
+        min_genes_per_pathway: int = 3,
+    ) -> "ConstraintSpec":
+        """Resolve gene/pathway names into static index arrays."""
+        mut_index = {g: i for i, g in enumerate(mutation_genes)}
+        expr_index = {g: i for i, g in enumerate(expression_genes)}
+        path_index = {p: i for i, p in enumerate(pathway_names)}
+
+        # Pathway mask over expression genes.
+        masks = []
+        if gene_sets:
+            for pathway, genes in gene_sets.items():
+                cols = [expr_index[g] for g in genes if g in expr_index]
+                if len(cols) < min_genes_per_pathway:
+                    continue
+                col = np.zeros(len(expression_genes), np.float32)
+                col[cols] = 1.0
+                masks.append(col)
+        pathway_mask = (
+            np.stack(masks, axis=1)
+            if masks
+            else np.zeros((len(expression_genes), 0), np.float32)
+        )
+
+        pairs = []
+        for pair in exclusive_gene_pairs or []:
+            g1, g2 = pair[0], pair[1]
+            if g1 in mut_index and g2 in mut_index:
+                pairs.append((mut_index[g1], mut_index[g2]))
+        exclusive_pairs = (
+            np.asarray(pairs, np.int32) if pairs else np.zeros((0, 2), np.int32)
+        )
+
+        r_mut, r_path, r_sign = [], [], []
+        for rule in correlation_rules or []:
+            gene = getattr(rule, "mutation", None) or rule["mutation"]
+            pathway = getattr(rule, "pathway", None) or rule["pathway"]
+            direction = getattr(rule, "direction", None) or rule["direction"]
+            if gene in mut_index and pathway in path_index:
+                r_mut.append(mut_index[gene])
+                r_path.append(path_index[pathway])
+                r_sign.append(1.0 if direction == "positive" else -1.0)
+
+        return ConstraintSpec(
+            mutation_dim=len(mutation_genes),
+            expression_dim=len(expression_genes),
+            pathway_dim=len(pathway_names),
+            pathway_mask=pathway_mask,
+            exclusive_pairs=exclusive_pairs,
+            rule_mutation_idx=np.asarray(r_mut, np.int32),
+            rule_pathway_idx=np.asarray(r_path, np.int32),
+            rule_sign=np.asarray(r_sign, np.float32),
+        )
+
+    def split(self, x: jnp.ndarray):
+        """Split a flat patient vector into (mutations, expression, pathways)."""
+        m, e = self.mutation_dim, self.expression_dim
+        return x[..., :m], x[..., m : m + e], x[..., m + e :]
+
+
+def _standardize_over_batch(x: jnp.ndarray) -> jnp.ndarray:
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    std = jnp.std(x, axis=0, keepdims=True)
+    return (x - mean) / (std + _EPS)
+
+
+def pathway_coherence_loss(
+    expression: jnp.ndarray, pathway_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """1 - mean within-pathway pairwise correlation, via masked matmul.
+
+    For pathway p with member set S_p (|S_p| = k_p) and batch-standardized
+    expression Z: sum_{i,j in S_p} corr(i, j) = (1/B) * sum_b (Z M)_bp^2,
+    so mean pairwise corr = (that - k_p) / (k_p (k_p - 1)). The (B,G)x(G,P)
+    matmul keeps everything on the MXU; no G x G matrix is materialized.
+    """
+    if pathway_mask.shape[1] == 0:
+        return jnp.float32(0.0)
+    batch = expression.shape[0]
+    z = _standardize_over_batch(expression.astype(jnp.float32))
+    mask = jnp.asarray(pathway_mask)
+    y = jnp.dot(z, mask, preferred_element_type=jnp.float32)  # (B, P)
+    corr_sum = jnp.sum(y * y, axis=0) / batch  # sum_{ij in p} corr
+    k = jnp.sum(mask, axis=0)
+    mean_pairwise = (corr_sum - k) / jnp.maximum(k * (k - 1.0), 1.0)
+    return jnp.mean(1.0 - mean_pairwise)
+
+
+def mutation_expression_correlation_loss(
+    mutations: jnp.ndarray,
+    pathway_scores: jnp.ndarray,
+    rule_mutation_idx: jnp.ndarray,
+    rule_pathway_idx: jnp.ndarray,
+    rule_sign: jnp.ndarray,
+) -> jnp.ndarray:
+    """Hinge penalty for violated directional mutation->pathway rules."""
+    if rule_mutation_idx.shape[0] == 0:
+        return jnp.float32(0.0)
+    mut_cols = _standardize_over_batch(
+        mutations.astype(jnp.float32)[:, np.asarray(rule_mutation_idx)]
+    )
+    path_cols = _standardize_over_batch(
+        pathway_scores.astype(jnp.float32)[:, np.asarray(rule_pathway_idx)]
+    )
+    corr = jnp.mean(mut_cols * path_cols, axis=0)  # (R,)
+    # Violation when sign * corr < 0; hinge keeps gradients flowing.
+    return jnp.mean(jnp.maximum(0.0, -jnp.asarray(rule_sign) * corr))
+
+
+def mutual_exclusivity_loss(
+    mutations: jnp.ndarray, exclusive_pairs: jnp.ndarray
+) -> jnp.ndarray:
+    """Expected co-occurrence mass of mutually-exclusive gene pairs."""
+    if exclusive_pairs.shape[0] == 0:
+        return jnp.float32(0.0)
+    pairs = np.asarray(exclusive_pairs)
+    p = jnp.clip(mutations.astype(jnp.float32), 0.0, 1.0)
+    return jnp.mean(p[:, pairs[:, 0]] * p[:, pairs[:, 1]])
+
+
+def constraint_losses(x_recon: jnp.ndarray, spec: ConstraintSpec) -> dict:
+    """All constraint terms on a reconstructed/predicted patient batch."""
+    mut, expr, path = spec.split(x_recon)
+    return {
+        "pathway_coherence": pathway_coherence_loss(expr, spec.pathway_mask),
+        "mutation_expression": mutation_expression_correlation_loss(
+            mut,
+            path,
+            spec.rule_mutation_idx,
+            spec.rule_pathway_idx,
+            spec.rule_sign,
+        ),
+        "mutual_exclusivity": mutual_exclusivity_loss(mut, spec.exclusive_pairs),
+    }
