@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Headline benchmark: sampled patients/sec at the full 1000-step DDPM.
+
+Runs the flagship conditional diffusion model at the production dims
+(62 + 5054 + 26 = 5142 features, 3 clinical conditions; reference
+config/config.yaml:27-30) and times the scan-compiled ancestral reverse
+loop end to end on the attached accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "patients/sec", "vs_baseline": N}
+
+vs_baseline divides by the reference implementation's CPU throughput
+measured on this machine (BASELINE_MEASURED.json, produced by
+scripts/measure_reference_baseline.py); falls back to the documented
+~1.7 patients/sec estimate (QUICKSTART.md:202) if absent.
+"""
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from osteosarcoma_diffusionmodel_tpu.config import Config
+from osteosarcoma_diffusionmodel_tpu.models.diffusion import ConditionalDiffusion
+
+REPO = Path(__file__).resolve().parent
+
+MUTATION_DIM, EXPRESSION_DIM, PATHWAY_DIM, CONDITION_DIM = 62, 5054, 26, 3
+NUM_STEPS = 1000
+BATCH = 1024
+
+
+def reference_baseline() -> float:
+    measured = REPO / "BASELINE_MEASURED.json"
+    if measured.exists():
+        with open(measured) as f:
+            return float(json.load(f)["reference_cpu_patients_per_sec"])
+    return 1.7  # documented estimate (QUICKSTART.md:202)
+
+
+def main():
+    config = Config()
+    config.model.diffusion.num_steps = NUM_STEPS
+    config.model.constraints.enabled = False
+    dims = config.freeze_dims(
+        MUTATION_DIM, EXPRESSION_DIM, PATHWAY_DIM,
+        ["survival_days_norm", "event_occurred", "metastasis_at_diagnosis"],
+    )
+    model = ConditionalDiffusion.from_config(config, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+
+    conditions = jnp.zeros((BATCH, CONDITION_DIM), jnp.float32)
+    sample = jax.jit(lambda p, c, k: model.sample(p, c, k))
+
+    # Compile + warm-up.
+    jax.block_until_ready(sample(params, conditions, jax.random.PRNGKey(1)))
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(sample(params, conditions, jax.random.PRNGKey(2 + i)))
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    patients_per_sec = BATCH / best
+    baseline = reference_baseline()
+    print(json.dumps({
+        "metric": "sampled_patients_per_sec_1000step_ddpm",
+        "value": round(patients_per_sec, 2),
+        "unit": "patients/sec",
+        "vs_baseline": round(patients_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,343 @@
+"""Six-step pipeline CLI.
+
+Step API preserved exactly from the reference (reference main.py:343-369):
+
+    python main.py --config <yaml> \
+        --steps {download,preprocess,pathways,train,generate,validate,all} \
+        [--resume-training]
+
+plus a `doctor` step replacing the reference's standalone debug_model.py
+(dimension-consistency checks across config/data/checkpoint/scenarios).
+
+Unlike the reference, `--resume-training` actually resumes (restores
+params/optimizer/epoch from the latest checkpoint; the reference parses
+the flag and ignores it, reference main.py:363-367 + SURVEY §5), and
+`main` is importable as a module (the reference crashes on import
+because torch is only imported under __main__, main.py:413).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from .config import Config
+from .data.dataset import prepare_arrays
+from .data.gdc_loader import GDCDataLoader
+from .data.pathways import PathwayFeatures
+from .data.preprocessor import OsteosarcomaPreprocessor
+from .models.constraints import ConstraintSpec
+from .training.checkpoint import load_metadata
+from .training.trainer import Trainer, build_model
+from .validation.validator import BiologicalValidator
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+)
+logger = logging.getLogger(__name__)
+
+UPDATED_CONFIG_PATH = "config/config_updated.yaml"
+
+
+def _banner(msg: str) -> None:
+    logger.info("=" * 60)
+    logger.info(msg)
+    logger.info("=" * 60)
+
+
+# ----------------------------------------------------------------------
+def download_data(config: Config):
+    _banner("STEP 1: Downloading TARGET-OS data from GDC")
+    loader = GDCDataLoader(
+        project_id=config.data.gdc_project, data_dir=config.data.data_dir
+    )
+    results = loader.download_all()
+    logger.info("Downloaded data to: %s", results)
+    return results
+
+
+def preprocess_data(config: Config):
+    _banner("STEP 2: Preprocessing data")
+    processor = OsteosarcomaPreprocessor(
+        raw_dir=Path(config.data.raw_dir),
+        processed_dir=Path(config.data.processed_dir),
+        config=config,
+    )
+    processed = processor.process_all()
+    logger.info("Processed %d samples", len(processed["mutation_matrix"]))
+    return processed
+
+
+def compute_pathway_features(config: Config):
+    _banner("STEP 3: Computing pathway features")
+    processed_dir = Path(config.data.processed_dir)
+    expression = pd.read_csv(
+        processed_dir / "expression_matrix_aligned.csv", index_col=0
+    )
+    mutations = pd.read_csv(
+        processed_dir / "mutation_matrix_aligned.csv", index_col=0
+    )
+
+    eng = PathwayFeatures(config.data.pathway_database)
+    eng.load_gene_sets()
+
+    pathway_scores = eng.compute_pathway_scores_from_expression(expression)
+    pathway_scores.to_csv(processed_dir / "pathway_scores.csv")
+
+    pathway_mut = eng.compute_pathway_scores_from_mutations(mutations)
+    pathway_mut.to_csv(processed_dir / "pathway_mutation_scores.csv")
+
+    gene_pathway = eng.create_gene_pathway_matrix()
+    gene_pathway.to_csv(processed_dir / "gene_pathway_matrix.csv")
+
+    logger.info("Computed %d pathway features", len(pathway_scores.columns))
+    return pathway_scores
+
+
+def _build_constraint_spec(config: Config, arrays) -> ConstraintSpec:
+    eng = PathwayFeatures(config.data.pathway_database)
+    gene_sets = eng.load_gene_sets()
+    return ConstraintSpec.build(
+        mutation_genes=arrays.mutation_genes,
+        expression_genes=arrays.expression_genes,
+        pathway_names=arrays.pathway_names,
+        gene_sets=gene_sets,
+        exclusive_gene_pairs=config.evaluation.mutually_exclusive_pairs,
+        correlation_rules=config.evaluation.required_correlations,
+    )
+
+
+def train_model(config: Config, resume: bool = False):
+    _banner("STEP 4: Training model")
+    arrays, dims = prepare_arrays(config)
+    logger.info(
+        "Model configured with: Mut=%d, Expr=%d, Path=%d, Cond=%d",
+        dims.mutation_dim, dims.expression_dim, dims.pathway_dim,
+        dims.condition_dim,
+    )
+
+    constraint_spec = _build_constraint_spec(config, arrays)
+    model = build_model(config, dims, constraint_spec)
+    trainer = Trainer(model, arrays, dims, config)
+    history = trainer.train(resume=resume)
+
+    # Persist the dim-frozen config for the generate step
+    # (reference main.py:183-184).
+    config.to_yaml(UPDATED_CONFIG_PATH)
+    logger.info("Training complete!")
+    return history
+
+
+def generate_synthetic_patients(config: Config):
+    _banner("STEP 5: Generating synthetic patients")
+    from .generation.generator import SyntheticPatientGenerator, load_trained_model
+
+    updated = Path(UPDATED_CONFIG_PATH)
+    if updated.exists():
+        config = Config.from_yaml(updated)
+
+    model, params, batch_stats, config, dims = load_trained_model(
+        Path(config.training.save_dir), config
+    )
+    generator = SyntheticPatientGenerator(
+        model, params, config, dims, batch_stats
+    )
+
+    scenarios = config.generation.scenarios
+    samples_per_scenario = config.generation.num_synthetic_samples // len(scenarios)
+    all_synthetic = generator.generate_scenarios(scenarios, samples_per_scenario)
+
+    processed_dir = Path(config.data.processed_dir)
+    gene_names = {
+        "mutation_genes": list(
+            pd.read_csv(processed_dir / "mutation_matrix_aligned.csv",
+                        index_col=0, nrows=0).columns
+        ),
+        "expression_genes": list(
+            pd.read_csv(processed_dir / "expression_matrix_aligned.csv",
+                        index_col=0, nrows=0).columns
+        ),
+        "pathway_names": list(
+            pd.read_csv(processed_dir / "pathway_scores.csv",
+                        index_col=0, nrows=0).columns
+        ),
+    }
+
+    output_dir = Path(config.output.synthetic_data_dir)
+    for scenario_name, synthetic in all_synthetic.items():
+        generator.save_synthetic_data(
+            synthetic, output_dir / scenario_name, gene_names,
+            prefix=scenario_name,
+        )
+    logger.info("Synthetic data saved to %s", output_dir)
+    return all_synthetic
+
+
+def validate_synthetic_patients(config: Config) -> Dict[str, float]:
+    _banner("STEP 6: Validating synthetic patients")
+    processed_dir = Path(config.data.processed_dir)
+
+    real_mut = pd.read_csv(processed_dir / "mutation_matrix_aligned.csv", index_col=0)
+    real_expr = pd.read_csv(
+        processed_dir / "expression_matrix_aligned.csv", index_col=0
+    )
+    real_path = pd.read_csv(processed_dir / "pathway_scores.csv", index_col=0)
+
+    output_dir = Path(config.output.synthetic_data_dir)
+    muts, exprs, paths = [], [], []
+    for scenario in config.generation.scenarios:
+        scenario_dir = output_dir / scenario.name
+        muts.append(pd.read_csv(scenario_dir / f"{scenario.name}_mutations.csv"))
+        exprs.append(pd.read_csv(scenario_dir / f"{scenario.name}_expression.csv"))
+        paths.append(pd.read_csv(scenario_dir / f"{scenario.name}_pathways.csv"))
+    synth_mut = pd.concat(muts, ignore_index=True)
+    synth_expr = pd.concat(exprs, ignore_index=True)
+    synth_path = pd.concat(paths, ignore_index=True)
+
+    # Fix vs reference: pass the gene-pathway matrix so coherence runs
+    # (the reference never passes it; SURVEY §3.3).
+    gpm_path = processed_dir / "gene_pathway_matrix.csv"
+    gene_pathway_matrix = (
+        pd.read_csv(gpm_path, index_col=0) if gpm_path.exists() else None
+    )
+
+    validator = BiologicalValidator(config)
+    results = validator.validate_all(
+        real_mutations=real_mut,
+        real_expression=real_expr,
+        real_pathways=real_path,
+        synth_mutations=synth_mut,
+        synth_expression=synth_expr,
+        synth_pathways=synth_path,
+        pathway_gene_matrix=gene_pathway_matrix,
+    )
+
+    results_dir = Path(config.output.results_dir)
+    results_dir.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame([results]).to_csv(
+        results_dir / "validation_results.csv", index=False
+    )
+    logger.info("Validation results saved to %s",
+                results_dir / "validation_results.csv")
+    return results
+
+
+def doctor(config: Config) -> Dict[str, str]:
+    """Dimension-consistency checks (reference debug_model.py parity)."""
+    _banner("DOCTOR: config / data / checkpoint consistency")
+    report: Dict[str, str] = {}
+    processed_dir = Path(config.data.processed_dir)
+
+    dims_from_data: Optional[Dict[str, int]] = None
+    try:
+        mut = pd.read_csv(processed_dir / "mutation_matrix_aligned.csv",
+                          index_col=0, nrows=1)
+        expr = pd.read_csv(processed_dir / "expression_matrix_aligned.csv",
+                           index_col=0, nrows=1)
+        path = pd.read_csv(processed_dir / "pathway_scores.csv",
+                           index_col=0, nrows=1)
+        clin = pd.read_csv(processed_dir / "clinical_aligned.csv", nrows=1)
+        dims_from_data = {
+            "mutation": mut.shape[1],
+            "expression": expr.shape[1],
+            "pathway": path.shape[1],
+        }
+        report["data"] = f"OK {dims_from_data}"
+        cond_cols = config.resolve_condition_columns(
+            list(clin.columns) + ["survival_days_norm"]
+        )
+        report["conditions"] = (
+            f"OK {cond_cols}" if len(cond_cols) == len(config.model.condition_on)
+            else f"MISMATCH config={config.model.condition_on} data={cond_cols}"
+        )
+    except FileNotFoundError as e:
+        report["data"] = f"MISSING {e}"
+
+    meta = load_metadata(Path(config.training.save_dir))
+    if meta is None:
+        report["checkpoint"] = "MISSING (no metadata.json)"
+    else:
+        ck = meta["dims"]
+        report["checkpoint"] = (
+            f"OK mut={ck['mutation_dim']} expr={ck['expression_dim']} "
+            f"path={ck['pathway_dim']} cond={len(ck['condition_names'])}"
+        )
+        if dims_from_data is not None:
+            consistent = (
+                ck["mutation_dim"] == dims_from_data["mutation"]
+                and ck["expression_dim"] == dims_from_data["expression"]
+                and ck["pathway_dim"] == dims_from_data["pathway"]
+            )
+            report["checkpoint_vs_data"] = "OK" if consistent else "MISMATCH"
+
+    for scenario in config.generation.scenarios:
+        unknown = [
+            k for k in scenario.conditions
+            if k not in config.model.condition_on
+        ]
+        if unknown:
+            report[f"scenario:{scenario.name}"] = f"UNKNOWN CONDITIONS {unknown}"
+
+    for key, value in report.items():
+        logger.info("%-22s %s", key, value)
+    return report
+
+
+# ----------------------------------------------------------------------
+STEP_FUNCTIONS = {
+    "download": download_data,
+    "preprocess": preprocess_data,
+    "pathways": compute_pathway_features,
+    "generate": generate_synthetic_patients,
+    "validate": validate_synthetic_patients,
+    "doctor": doctor,
+}
+
+ALL_STEPS = ["download", "preprocess", "pathways", "train", "generate", "validate"]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Pediatric Osteosarcoma Disease Progression Model Pipeline "
+        "(TPU-native)"
+    )
+    parser.add_argument("--config", type=str, default="config/config.yaml",
+                        help="Path to configuration file")
+    parser.add_argument(
+        "--steps", nargs="+", default=["all"],
+        choices=ALL_STEPS + ["all", "doctor"],
+        help="Pipeline steps to run",
+    )
+    parser.add_argument("--resume-training", action="store_true",
+                        help="Resume training from the latest checkpoint")
+    args = parser.parse_args(argv)
+
+    config = Config.from_yaml(args.config)
+    logger.info("Starting Osteosarcoma Disease Progression Pipeline (TPU)")
+    logger.info("Configuration: %s", args.config)
+    logger.info("Steps: %s", args.steps)
+
+    steps = list(args.steps)
+    if "all" in steps:
+        steps = list(ALL_STEPS)
+
+    try:
+        for step in steps:
+            if step == "train":
+                train_model(config, resume=args.resume_training)
+            else:
+                STEP_FUNCTIONS[step](config)
+        _banner("PIPELINE COMPLETE!")
+    except Exception as e:
+        logger.error("Pipeline failed: %s", e, exc_info=True)
+        raise
+
+
+if __name__ == "__main__":
+    main()

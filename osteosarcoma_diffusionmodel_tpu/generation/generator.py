@@ -1,0 +1,278 @@
+"""Synthetic patient generation: scenarios -> conditions -> cohorts.
+
+Capability parity with reference utils/generate.py:19-298:
+- scenario dict -> condition tensor with per-feature encoding
+  (generate.py:39-94), including the pad/truncate dimension guard
+- model sampling, split back into mutations/expression/pathways,
+  binarize mutations at 0.5 (generate.py:124-135)
+- per-scenario generation loop + CSV writers (generate.py:146-235)
+- checkpoint loading that self-configures from metadata
+  (vs the reference's weight-shape introspection, generate.py:238-298)
+
+TPU-first: sampling for large cohorts is sharded over the mesh's
+`data` axis — each chip runs the scan-compiled reverse loop on its
+batch shard, which is the "10k+ synthetic patients across TPU chips"
+config in BASELINE.json. Condition normalization defaults to the
+checkpointed train stats; set
+`generation.condition_normalization: fixed` for the reference's
+hard-coded (x-800)/500 (generate.py:66).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..config import CONDITION_COLUMN_MAP, Config, FrozenDims, Scenario
+from ..models.cvae import BiologyConstrainedVAE
+from ..models.diffusion import ConditionalDiffusion
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..training.checkpoint import CheckpointManager, load_metadata, metadata_to_dims
+from ..training.trainer import build_model
+
+logger = logging.getLogger(__name__)
+
+
+class SyntheticPatientGenerator:
+    """Generate synthetic patient cohorts from a trained model."""
+
+    def __init__(
+        self,
+        model,  # ConditionalDiffusion | BiologyConstrainedVAE
+        params,
+        config: Config,
+        dims: FrozenDims,
+        batch_stats=None,
+        mesh=None,
+    ):
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats or {}
+        self.config = config
+        self.dims = dims
+        self.mesh = mesh
+        self.is_vae = isinstance(model, BiologyConstrainedVAE)
+        self._sample_fn = None
+
+    # ------------------------------------------------------------------
+    def create_conditions(
+        self, num_samples: int, scenario: Optional[Dict] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """Encode a scenario dict into a (num_samples, C) condition batch.
+
+        Feature encoding mirrors reference generate.py:56-94, with
+        survival normalization selected by config (train stats vs the
+        reference's fixed (x-800)/500).
+        """
+        cdim = self.dims.condition_dim
+        if scenario is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            return jax.random.normal(rng, (num_samples, cdim), jnp.float32)
+
+        if self.config.generation.condition_normalization == "fixed":
+            s_mean, s_std = 800.0, 500.0
+        else:
+            s_mean, s_std = self.dims.survival_mean, self.dims.survival_std
+
+        values: List[float] = []
+        for cond_name in self.config.model.condition_on:
+            if cond_name == "survival_time":
+                values.append(
+                    (scenario.get("survival_time", 800) - s_mean) / s_std
+                )
+            elif cond_name == "event_occurred":
+                values.append(float(scenario.get("event_occurred", 0)))
+            elif cond_name == "age":
+                values.append(float(scenario.get("age", 15.0)))
+            elif cond_name == "metastasis_at_diagnosis":
+                values.append(float(scenario.get("metastasis_at_diagnosis", 0)))
+            else:
+                values.append(float(scenario.get(cond_name, 0.0)))
+
+        if len(values) != cdim:
+            logger.warning(
+                "Condition mismatch: expected %d, got %d — padding/truncating",
+                cdim, len(values),
+            )
+            values = (values + [0.0] * cdim)[:cdim]
+
+        row = np.asarray(values, np.float32)
+        return jnp.asarray(np.tile(row, (num_samples, 1)))
+
+    # ------------------------------------------------------------------
+    def _sample_raw(
+        self, conditions: jnp.ndarray, rng: jax.Array
+    ) -> jnp.ndarray:
+        gen = self.config.generation
+        if self.mesh is not None:
+            conditions = jax.device_put(conditions, batch_sharding(self.mesh))
+            params = jax.device_put(self.params, replicated(self.mesh))
+        else:
+            params = self.params
+
+        if self.is_vae:
+            return self.model.sample(params, self.batch_stats, conditions, rng)
+        if gen.sampler == "ddim":
+            return self.model.sample_ddim(
+                params, conditions, rng, num_sampling_steps=gen.sampling_steps
+            )
+        return self.model.sample(params, conditions, rng)
+
+    def generate(
+        self,
+        num_samples: int,
+        scenario: Optional[Dict] = None,
+        rng: Optional[jax.Array] = None,
+        guidance_scale: float = 1.0,
+    ) -> Dict[str, np.ndarray]:
+        """Generate one cohort and split into modality blocks."""
+        del guidance_scale  # accepted for API parity (generate.py:101)
+        if rng is None:
+            rng = jax.random.PRNGKey(self.config.training.random_seed)
+        logger.info("Generating %d synthetic patients...", num_samples)
+
+        cond_rng, sample_rng = jax.random.split(rng)
+        conditions = self.create_conditions(num_samples, scenario, cond_rng)
+        samples = np.asarray(
+            jax.block_until_ready(self._sample_raw(conditions, sample_rng))
+        )
+
+        m, e = self.dims.mutation_dim, self.dims.expression_dim
+        mutations = (samples[:, :m] > 0.5).astype(np.float32)  # generate.py:135
+        expression = samples[:, m : m + e]
+        pathways = samples[:, m + e :]
+        return {
+            "mutations": mutations,
+            "expression": expression,
+            "pathways": pathways,
+            "conditions": np.asarray(conditions),
+        }
+
+    def generate_scenarios(
+        self,
+        scenarios: List[Scenario],
+        samples_per_scenario: int,
+        rng: Optional[jax.Array] = None,
+    ) -> Dict[str, Dict[str, np.ndarray]]:
+        if rng is None:
+            rng = jax.random.PRNGKey(self.config.training.random_seed)
+        results = {}
+        for i, scenario in enumerate(scenarios):
+            logger.info("Scenario: %s", scenario.name)
+            results[scenario.name] = self.generate(
+                samples_per_scenario,
+                scenario.conditions,
+                jax.random.fold_in(rng, i),
+            )
+        return results
+
+    # ------------------------------------------------------------------
+    def save_synthetic_data(
+        self,
+        synthetic_data: Dict[str, np.ndarray],
+        output_dir: str | Path,
+        gene_names: Dict[str, List[str]],
+        prefix: str = "synthetic",
+    ) -> None:
+        """Write per-modality tables in the configured export formats
+        (csv always; h5/pickle honored when configured, unlike the
+        reference which lists them in config but only writes CSV)."""
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        formats = [f.lower() for f in self.config.output.export_formats] or ["csv"]
+
+        tables = {}
+        if "mutation_genes" in gene_names:
+            tables["mutations"] = pd.DataFrame(
+                synthetic_data["mutations"], columns=gene_names["mutation_genes"]
+            )
+        if "expression_genes" in gene_names:
+            tables["expression"] = pd.DataFrame(
+                synthetic_data["expression"], columns=gene_names["expression_genes"]
+            )
+        if "pathway_names" in gene_names:
+            tables["pathways"] = pd.DataFrame(
+                synthetic_data["pathways"], columns=gene_names["pathway_names"]
+            )
+        cond_cols = self.dims.condition_names or self.config.model.condition_on
+        tables["conditions"] = pd.DataFrame(
+            synthetic_data["conditions"], columns=cond_cols
+        )
+
+        for name, df in tables.items():
+            base = output_dir / f"{prefix}_{name}"
+            if "csv" in formats:
+                df.to_csv(base.with_suffix(".csv"), index=False)
+            if "pickle" in formats:
+                df.to_pickle(base.with_suffix(".pkl"))
+            if "h5" in formats:
+                try:
+                    df.to_hdf(base.with_suffix(".h5"), key=name, mode="w")
+                except ImportError:
+                    # pytables unavailable: fall back to compressed npz.
+                    np.savez_compressed(
+                        base.with_suffix(".npz"), values=df.values,
+                        columns=np.asarray(df.columns, dtype=object),
+                    )
+            logger.info("Saved %s (%s)", base.name, ", ".join(formats))
+
+
+def load_trained_model(
+    checkpoint_dir: str | Path,
+    config: Optional[Config] = None,
+    checkpoint_name: str = "best_model",
+):
+    """Rebuild model + restore params from an Orbax checkpoint directory.
+
+    The checkpoint's metadata.json provides dims/condition names and the
+    training-time config, so no weight-shape introspection is needed
+    (cf. reference generate.py:247-260 re-reading CSVs for dims).
+
+    Returns (model, params, batch_stats, config, dims).
+    """
+    checkpoint_dir = Path(checkpoint_dir)
+    meta = load_metadata(checkpoint_dir)
+    if meta is None:
+        raise FileNotFoundError(
+            f"No metadata.json in {checkpoint_dir}; cannot self-configure"
+        )
+    dims = metadata_to_dims(meta)
+    if config is None:
+        config = Config.from_dict(meta["config"])
+
+    model = build_model(config, dims)
+    manager = CheckpointManager(checkpoint_dir)
+
+    rng = jax.random.PRNGKey(0)
+    if isinstance(model, BiologyConstrainedVAE):
+        variables = model.init_variables(rng, dims.condition_dim)
+        abstract = {
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+        }
+    else:
+        abstract = {
+            "params": model.init_params(rng, dims.condition_dim),
+            "batch_stats": {},
+        }
+
+    restored = manager.restore(checkpoint_name)
+    params = _match_tree(abstract["params"], restored["params"])
+    batch_stats = restored.get("batch_stats", {})
+    logger.info("Loaded checkpoint %s", checkpoint_dir / checkpoint_name)
+    return model, params, batch_stats, config, dims
+
+
+def _match_tree(abstract, restored):
+    """Cast a restored pytree's leaves onto the abstract tree's dtypes."""
+    return jax.tree_util.tree_map(
+        lambda a, r: jnp.asarray(r, dtype=a.dtype), abstract, restored
+    )

@@ -1,0 +1,21 @@
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    denoiser_param_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "denoiser_param_sharding",
+    "make_mesh",
+    "pad_to_multiple",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,374 @@
+"""Training runtime: jitted steps, plateau LR, early stopping, resume.
+
+Capability parity with reference utils/train.py:151-339 (Trainer) and
+:342-444 (prepare_data), re-architected for TPU:
+
+- the whole cohort lives on device; the train step is one jitted
+  value_and_grad with AdamW + global-norm clipping (optax), donated
+  state, and mixup applied *inside* jit with explicit PRNG keys
+- ReduceLROnPlateau(factor 0.5, patience 10) is reproduced host-side by
+  mutating the `optax.inject_hyperparams` learning rate — no recompile
+- early stopping with patience/min_delta (reference train.py:129-148)
+- Orbax checkpoints every `save_frequency` epochs and on new best
+  (reference train.py:275-294, :323-328)
+- `--resume-training` actually works (the reference parses the flag and
+  ignores it, reference main.py:363-367, SURVEY §5) — restores params,
+  optimizer state, batch stats, and epoch counter
+- optional data-parallel mesh: batches are sharded over the `data`
+  axis; XLA all-reduces the gradients over ICI
+
+Deliberate divergence (documented): the cVAE survival auxiliary target
+is z-score normalized (the reference regresses raw survival days,
+train.py:67, which makes the 0.3-weighted aux MSE dominate total loss
+by ~1e5x).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config, FrozenDims
+from ..data.dataset import OsteosarcomaArrays, mixup, train_val_split
+from ..models.cvae import BiologyConstrainedVAE
+from ..models.diffusion import ConditionalDiffusion
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from .checkpoint import CheckpointManager, save_metadata
+
+logger = logging.getLogger(__name__)
+
+
+class EarlyStopping:
+    """Patience/min_delta counter on validation loss
+    (reference train.py:129-148)."""
+
+    def __init__(self, patience: int = 10, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.counter = 0
+        self.best_loss: Optional[float] = None
+        self.early_stop = False
+
+    def __call__(self, val_loss: float) -> None:
+        if self.best_loss is None:
+            self.best_loss = val_loss
+        elif val_loss > self.best_loss - self.min_delta:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.early_stop = True
+        else:
+            self.best_loss = val_loss
+            self.counter = 0
+
+
+class PlateauLR:
+    """ReduceLROnPlateau(mode=min) equivalent (reference train.py:176-181)."""
+
+    def __init__(self, base_lr: float, factor: float = 0.5, patience: int = 10):
+        self.lr = base_lr
+        self.factor = factor
+        self.patience = patience
+        self.counter = 0
+        self.best: Optional[float] = None
+
+    def step(self, val_loss: float) -> float:
+        if self.best is None or val_loss < self.best:
+            self.best = val_loss
+            self.counter = 0
+        else:
+            self.counter += 1
+            if self.counter > self.patience:
+                self.lr *= self.factor
+                self.counter = 0
+                logger.info("Plateau: reducing lr to %.3e", self.lr)
+        return self.lr
+
+
+def _set_learning_rate(opt_state, lr: float):
+    """Update the injected learning rate inside the optax chain state."""
+    inner = opt_state[1]  # chain: (clip_state, inject_hyperparams_state)
+    new_hp = dict(inner.hyperparams)
+    new_hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return (opt_state[0], inner._replace(hyperparams=new_hp))
+
+
+@dataclass
+class TrainLog:
+    train_loss: List[float]
+    val_loss: List[float]
+    epoch_seconds: List[float]
+    steps_per_sec: float = 0.0
+
+    def as_dict(self) -> Dict[str, Any]:
+        return {
+            "train_loss": self.train_loss,
+            "val_loss": self.val_loss,
+            "epoch_seconds": self.epoch_seconds,
+            "steps_per_sec": self.steps_per_sec,
+        }
+
+
+class Trainer:
+    """End-to-end training loop for both model families."""
+
+    def __init__(
+        self,
+        model,  # ConditionalDiffusion | BiologyConstrainedVAE
+        arrays: OsteosarcomaArrays,
+        dims: FrozenDims,
+        config: Config,
+        mesh=None,
+    ):
+        self.model = model
+        self.arrays = arrays
+        self.dims = dims
+        self.config = config
+        self.is_vae = isinstance(model, BiologyConstrainedVAE)
+
+        tc = config.training
+        self.mesh = mesh
+        if mesh is None and tc.num_devices and tc.num_devices > 1:
+            self.mesh = make_mesh(tc.num_devices)
+
+        # Optimizer: clip -> AdamW with injectable LR (plateau updates
+        # mutate state, never trigger recompiles).
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(tc.grad_clip_norm),
+            optax.inject_hyperparams(optax.adamw)(
+                learning_rate=tc.learning_rate, weight_decay=tc.weight_decay
+            ),
+        )
+
+        # Init model state.
+        init_rng = jax.random.PRNGKey(tc.random_seed)
+        if self.is_vae:
+            variables = model.init_variables(init_rng, dims.condition_dim)
+            self.params = variables["params"]
+            self.batch_stats = variables["batch_stats"]
+        else:
+            self.params = model.init_params(init_rng, dims.condition_dim)
+            self.batch_stats = {}
+        self.opt_state = self.tx.init(self.params)
+        self.start_epoch = 0
+
+        # Data splits + device placement.
+        train_idx, val_idx = train_val_split(
+            arrays.n_samples, tc.val_split, tc.random_seed
+        )
+        self.train_idx = train_idx
+        self.val_idx = val_idx
+        surv_norm = (
+            (arrays.survival - arrays.survival_mean)
+            / max(arrays.survival_std, 1e-8)
+        ).astype(np.float32)
+        self._data = jnp.asarray(arrays.data)
+        self._cond = jnp.asarray(arrays.conditions)
+        self._surv = jnp.asarray(surv_norm)
+
+        self.plateau = PlateauLR(
+            tc.learning_rate, tc.lr_plateau_factor, tc.lr_plateau_patience
+        )
+        self.early_stopping = EarlyStopping(tc.patience, tc.min_delta)
+        self.checkpoints = CheckpointManager(tc.save_dir)
+        self.history = TrainLog([], [], [])
+
+        self._train_step = jax.jit(self._make_train_step(), donate_argnums=(0, 1, 2))
+        self._eval_step = jax.jit(self._make_eval_step())
+
+        if self.mesh is not None:
+            self._batch_sharding = batch_sharding(self.mesh)
+            self._replicated = replicated(self.mesh)
+            self.params = jax.device_put(self.params, self._replicated)
+            self.opt_state = jax.device_put(self.opt_state, self._replicated)
+            if self.batch_stats:
+                self.batch_stats = jax.device_put(
+                    self.batch_stats, self._replicated
+                )
+
+    # ------------------------------------------------------------------
+    def _loss_with_aux(self, params, batch_stats, batch, rng, train: bool):
+        data, cond, surv = batch
+        if self.is_vae:
+            loss, metrics, new_bs = self.model.loss(
+                params, batch_stats, data, cond, surv, rng, train=train
+            )
+            return loss, (metrics, new_bs)
+        loss, metrics = self.model.loss(
+            params, data, cond, rng, deterministic=not train
+        )
+        return loss, (metrics, batch_stats)
+
+    def _make_train_step(self):
+        mixup_alpha = self.config.training.augmentation.mixup_alpha
+
+        def step(params, opt_state, batch_stats, data, cond, surv, rng):
+            mix_rng, loss_rng = jax.random.split(rng)
+            if mixup_alpha > 0:
+                data, cond, surv = mixup(mix_rng, data, cond, surv, mixup_alpha)
+
+            (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+                self._loss_with_aux, has_aux=True
+            )(params, batch_stats, (data, cond, surv), loss_rng, True)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt, new_bs, metrics
+
+        return step
+
+    def _make_eval_step(self):
+        def step(params, batch_stats, data, cond, surv, rng):
+            loss, (metrics, _) = self._loss_with_aux(
+                params, batch_stats, (data, cond, surv), rng, False
+            )
+            return metrics
+
+        return step
+
+    def _gather_batch(self, indices: np.ndarray):
+        idx = jnp.asarray(indices)
+        batch = (self._data[idx], self._cond[idx], self._surv[idx])
+        if self.mesh is not None:
+            batch = tuple(jax.device_put(b, self._batch_sharding) for b in batch)
+        return batch
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int, rng: jax.Array) -> float:
+        tc = self.config.training
+        perm_rng = np.random.default_rng(tc.random_seed + 1000 + epoch)
+        perm = perm_rng.permutation(self.train_idx)
+        batch_size = min(tc.batch_size, len(perm))
+        n_batches = max(len(perm) // batch_size, 1)  # drop_last (train.py:428)
+
+        total = 0.0
+        for b in range(n_batches):
+            batch_idx = perm[b * batch_size : (b + 1) * batch_size]
+            if len(batch_idx) < batch_size:
+                batch_idx = perm[:batch_size]
+            data, cond, surv = self._gather_batch(batch_idx)
+            step_rng = jax.random.fold_in(rng, b)
+            self.params, self.opt_state, self.batch_stats, metrics = (
+                self._train_step(
+                    self.params, self.opt_state, self.batch_stats,
+                    data, cond, surv, step_rng,
+                )
+            )
+            total += float(metrics["loss"])
+        return total / n_batches
+
+    def validate(self, rng: jax.Array) -> float:
+        if len(self.val_idx) == 0:
+            return float("nan")
+        tc = self.config.training
+        batch_size = tc.batch_size
+        total, n = 0.0, 0
+        for b in range(0, len(self.val_idx), batch_size):
+            batch_idx = self.val_idx[b : b + batch_size]
+            data, cond, surv = self._gather_batch(batch_idx)
+            metrics = self._eval_step(
+                self.params, self.batch_stats, data, cond, surv,
+                jax.random.fold_in(rng, b),
+            )
+            total += float(metrics["loss"])
+            n += 1
+        return total / max(n, 1)
+
+    # ------------------------------------------------------------------
+    def state_dict(self, epoch: int, val_loss: float) -> Dict[str, Any]:
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "batch_stats": self.batch_stats,
+            "epoch": epoch,
+            "val_loss": val_loss,
+        }
+
+    def resume(self) -> bool:
+        """Restore the latest periodic checkpoint, if any."""
+        latest = self.checkpoints.latest_epoch()
+        if latest is None:
+            logger.info("No checkpoint to resume from")
+            return False
+        abstract = self.state_dict(0, 0.0)
+        state = self.checkpoints.restore(f"checkpoint_epoch_{latest}", abstract)
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.batch_stats = state["batch_stats"]
+        self.start_epoch = int(state["epoch"]) + 1
+        logger.info("Resumed from epoch %d", latest)
+        return True
+
+    # ------------------------------------------------------------------
+    def train(self, resume: bool = False) -> TrainLog:
+        tc = self.config.training
+        if resume:
+            self.resume()
+        save_metadata(self.checkpoints.save_dir, self.config, self.dims)
+
+        rng = jax.random.PRNGKey(tc.random_seed + 7)
+        best_val = float("inf")
+        total_steps = 0
+        t_start = time.perf_counter()
+
+        for epoch in range(self.start_epoch, tc.num_epochs):
+            epoch_rng = jax.random.fold_in(rng, epoch)
+            t0 = time.perf_counter()
+            train_loss = self.train_epoch(epoch, epoch_rng)
+            val_loss = self.validate(jax.random.fold_in(epoch_rng, 999))
+            dt = time.perf_counter() - t0
+
+            self.history.train_loss.append(train_loss)
+            self.history.val_loss.append(val_loss)
+            self.history.epoch_seconds.append(dt)
+            total_steps += max(len(self.train_idx) // tc.batch_size, 1)
+
+            if epoch % 25 == 0 or epoch == tc.num_epochs - 1:
+                logger.info(
+                    "Epoch %d/%d  train %.4f  val %.4f  (%.2fs)",
+                    epoch + 1, tc.num_epochs, train_loss, val_loss, dt,
+                )
+
+            # Plateau LR on val loss.
+            prev_lr = self.plateau.lr
+            new_lr = self.plateau.step(val_loss)
+            if new_lr != prev_lr:
+                self.opt_state = _set_learning_rate(self.opt_state, new_lr)
+
+            is_best = val_loss < best_val
+            if is_best:
+                best_val = val_loss
+            if (epoch + 1) % tc.save_frequency == 0 or is_best:
+                self.checkpoints.save_epoch(
+                    epoch, self.state_dict(epoch, val_loss), is_best
+                )
+
+            self.early_stopping(val_loss)
+            if self.early_stopping.early_stop:
+                logger.info("Early stopping at epoch %d", epoch + 1)
+                break
+
+        elapsed = time.perf_counter() - t_start
+        self.history.steps_per_sec = total_steps / max(elapsed, 1e-9)
+        logger.info(
+            "Training complete: best val %.4f, %.1f steps/sec",
+            best_val, self.history.steps_per_sec,
+        )
+        return self.history
+
+
+def build_model(
+    config: Config, dims: FrozenDims, constraint_spec=None
+):
+    """Architecture dispatch (reference main.py:153-174)."""
+    arch = config.model.architecture
+    if arch == "diffusion":
+        return ConditionalDiffusion.from_config(config, dims, constraint_spec)
+    if arch == "cvae":
+        return BiologyConstrainedVAE.from_config(config, dims, constraint_spec)
+    raise ValueError(f"Unknown architecture: {arch}")

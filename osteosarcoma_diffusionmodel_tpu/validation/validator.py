@@ -1,0 +1,310 @@
+"""Biological validation of synthetic cohorts.
+
+Capability parity with reference utils/validation.py:18-387, with the
+numeric hot spots on device:
+
+- mutation frequency correlation (validation.py:43-54)
+- driver-gene frequency diff (:58-66)
+- mutual-exclusivity violation rate (:69-87)
+- pairwise chi-square co-occurrence correlation over <=50 sampled genes
+  (:89-121) — the reference's O(50^2/2) pandas crosstab loop becomes
+  one vectorized `chi2_binary_pairs` call
+- within-pathway coherence over the first 10 pathways (:125-175) via
+  the masked-matmul group-correlation identity
+- directional mutation<->pathway rules (:177-223)
+- per-feature KS (<=100 features), RBF MMD, Wasserstein on 10 PCs
+  (:225-298)
+- overall score = mean of 4 normalized components (:365-385)
+
+Deliberate fixes vs the reference (documented divergences):
+- gene sampling for the chi-square test is seeded (the reference uses
+  the global numpy RNG, validation.py:94)
+- `validate_all` accepts and uses the pathway_gene_matrix when given;
+  the reference's CLI never passes it so coherence silently skips
+  (reference main.py:322-329, SURVEY §3.3)
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..config import Config
+from ..ops.stats import (
+    chi2_binary_pairs,
+    columnwise_corr,
+    ks_test_features,
+    mean_pairwise_corr_within_groups,
+    mmd_rbf,
+    pca_project,
+    pearson_corr,
+    wasserstein_1d,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class BiologicalValidator:
+    """Validate synthetic patients against biological knowledge."""
+
+    def __init__(self, config: Config, seed: int = 0):
+        self.config = config
+        self.driver_genes = config.evaluation.driver_genes
+        self.mutually_exclusive_pairs = config.evaluation.mutually_exclusive_pairs
+        self.required_correlations = config.evaluation.required_correlations
+        self.seed = seed
+
+    # ------------------------------------------------------------------
+    def validate_mutation_cooccurrence(
+        self,
+        real_mutations: pd.DataFrame,
+        synthetic_mutations: pd.DataFrame,
+        max_genes: int = 50,
+    ) -> Dict[str, float]:
+        results: Dict[str, float] = {}
+        common = real_mutations.columns.intersection(synthetic_mutations.columns)
+
+        real = jnp.asarray(real_mutations[common].values, jnp.float32)
+        synth = jnp.asarray(synthetic_mutations[common].values, jnp.float32)
+
+        # 1. Mutation frequency correlation.
+        freq_corr = float(
+            pearson_corr(jnp.mean(real, axis=0), jnp.mean(synth, axis=0))
+        )
+        results["mutation_frequency_correlation"] = freq_corr
+        logger.info("Mutation frequency correlation: %.3f", freq_corr)
+
+        # 2. Driver-gene frequency difference.
+        drivers = [g for g in self.driver_genes if g in common]
+        if drivers:
+            idx = [common.get_loc(g) for g in drivers]
+            diff = float(
+                jnp.mean(
+                    jnp.abs(
+                        jnp.mean(real[:, idx], axis=0)
+                        - jnp.mean(synth[:, idx], axis=0)
+                    )
+                )
+            )
+            results["driver_gene_frequency_diff"] = diff
+            logger.info("Driver gene frequency diff: %.3f", diff)
+
+        # 3. Mutual-exclusivity violation rate.
+        if self.mutually_exclusive_pairs:
+            violations, total_pairs = 0.0, 0
+            synth_cols = synthetic_mutations.columns
+            for gene1, gene2 in self.mutually_exclusive_pairs:
+                if gene1 in synth_cols and gene2 in synth_cols:
+                    both = float(
+                        (
+                            (synthetic_mutations[gene1] == 1)
+                            & (synthetic_mutations[gene2] == 1)
+                        ).sum()
+                    )
+                    violations += both
+                    total_pairs += 1
+            if total_pairs:
+                rate = violations / (len(synthetic_mutations) * total_pairs)
+                results["mutual_exclusivity_violation_rate"] = rate
+                logger.info("Mutual exclusivity violation rate: %.3f", rate)
+
+        # 4. Pairwise co-occurrence pattern correlation (chi-square).
+        rng = np.random.default_rng(self.seed)
+        n_sample = min(max_genes, len(common))
+        sample_idx = rng.choice(len(common), size=n_sample, replace=False)
+        pairs = [
+            (int(sample_idx[i]), int(sample_idx[j]))
+            for i in range(n_sample)
+            for j in range(i + 1, n_sample)
+        ]
+        if pairs:
+            pi = jnp.asarray([p[0] for p in pairs])
+            pj = jnp.asarray([p[1] for p in pairs])
+            chi2_real = np.asarray(chi2_binary_pairs(real, pi, pj))
+            chi2_synth = np.asarray(chi2_binary_pairs(synth, pi, pj))
+            chi2_corr = float(
+                pearson_corr(jnp.asarray(chi2_real), jnp.asarray(chi2_synth))
+            )
+            results["cooccurrence_pattern_correlation"] = chi2_corr
+            logger.info("Co-occurrence pattern correlation: %.3f", chi2_corr)
+
+        return results
+
+    # ------------------------------------------------------------------
+    def validate_pathway_coherence(
+        self,
+        real_data: pd.DataFrame,
+        synthetic_data: pd.DataFrame,
+        pathway_gene_matrix: pd.DataFrame,
+        max_pathways: int = 10,
+        min_genes: int = 3,
+    ) -> Dict[str, float]:
+        """Within-pathway mean pairwise correlation, real vs synthetic."""
+        results: Dict[str, float] = {}
+        masks = []
+        for pathway in pathway_gene_matrix.columns[:max_pathways]:
+            genes = pathway_gene_matrix.index[pathway_gene_matrix[pathway] == 1]
+            genes = [g for g in genes if g in real_data.columns]
+            if len(genes) < min_genes:
+                continue
+            col = np.zeros(real_data.shape[1], np.float32)
+            col[[real_data.columns.get_loc(g) for g in genes]] = 1.0
+            masks.append(col)
+        if not masks:
+            return results
+
+        mask = jnp.asarray(np.stack(masks, axis=1))
+        common_cols = list(real_data.columns)
+        real = jnp.asarray(real_data.values, jnp.float32)
+        synth = jnp.asarray(synthetic_data[common_cols].values, jnp.float32)
+
+        real_scores = np.asarray(mean_pairwise_corr_within_groups(real, mask))
+        synth_scores = np.asarray(mean_pairwise_corr_within_groups(synth, mask))
+
+        results["real_pathway_coherence"] = float(real_scores.mean())
+        results["synthetic_pathway_coherence"] = float(synth_scores.mean())
+        if len(real_scores) > 1:
+            results["pathway_coherence_correlation"] = float(
+                pearson_corr(jnp.asarray(real_scores), jnp.asarray(synth_scores))
+            )
+        logger.info(
+            "Pathway coherence real %.3f synth %.3f",
+            results["real_pathway_coherence"],
+            results["synthetic_pathway_coherence"],
+        )
+        return results
+
+    # ------------------------------------------------------------------
+    def validate_mutation_expression_correlation(
+        self,
+        mutations: pd.DataFrame,
+        expression: pd.DataFrame,
+        pathway_scores: pd.DataFrame,
+    ) -> Dict[str, float]:
+        """Directional mutation -> pathway activity rules."""
+        del expression  # rule checks operate on pathway scores (as in ref)
+        results: Dict[str, float] = {}
+        violations, total = 0, 0
+        for rule in self.required_correlations:
+            gene, pathway = rule.mutation, rule.pathway
+            if gene not in mutations.columns or pathway not in pathway_scores.columns:
+                continue
+            corr = float(
+                pearson_corr(
+                    jnp.asarray(mutations[gene].values, jnp.float32),
+                    jnp.asarray(pathway_scores[pathway].values, jnp.float32),
+                )
+            )
+            if rule.direction == "positive" and corr < 0:
+                violations += 1
+            elif rule.direction == "negative" and corr > 0:
+                violations += 1
+            total += 1
+            logger.info(
+                "%s vs %s: corr=%.3f (expected %s)",
+                gene, pathway, corr, rule.direction,
+            )
+        if total:
+            results["mutation_expression_violation_rate"] = violations / total
+        return results
+
+    # ------------------------------------------------------------------
+    def statistical_tests(
+        self, real_data: np.ndarray, synthetic_data: np.ndarray,
+        max_ks_features: int = 100, n_pca_components: int = 10,
+    ) -> Dict[str, float]:
+        results: Dict[str, float] = {}
+        real = jnp.asarray(real_data, jnp.float32)
+        synth = jnp.asarray(synthetic_data, jnp.float32)
+
+        # KS over the first <=100 features (validation.py:241-246).
+        k = min(real.shape[1], max_ks_features)
+        _, pvals = ks_test_features(real[:, :k], synth[:, :k])
+        pvals = np.asarray(pvals)
+        results["ks_test_mean_pvalue"] = float(pvals.mean())
+        results["ks_test_fraction_significant"] = float((pvals < 0.05).mean())
+
+        # MMD with gamma = 1/d (validation.py:284-298).
+        results["mmd"] = float(mmd_rbf(real, synth))
+
+        # Wasserstein over 10 PCA components (validation.py:256-269).
+        n_comp = min(n_pca_components, real.shape[0], real.shape[1])
+        real_pca, synth_pca = pca_project(real, synth, n_comp)
+        dists = [
+            float(wasserstein_1d(real_pca[:, i], synth_pca[:, i]))
+            for i in range(n_comp)
+        ]
+        results["wasserstein_distance_mean"] = float(np.mean(dists))
+
+        for key, value in results.items():
+            logger.info("%s: %.4f", key, value)
+        return results
+
+    def compute_mmd(
+        self, x: np.ndarray, y: np.ndarray, gamma: Optional[float] = None
+    ) -> float:
+        return float(mmd_rbf(jnp.asarray(x), jnp.asarray(y), gamma=gamma))
+
+    # ------------------------------------------------------------------
+    def validate_all(
+        self,
+        real_mutations: pd.DataFrame,
+        real_expression: pd.DataFrame,
+        real_pathways: pd.DataFrame,
+        synth_mutations: pd.DataFrame,
+        synth_expression: pd.DataFrame,
+        synth_pathways: pd.DataFrame,
+        pathway_gene_matrix: Optional[pd.DataFrame] = None,
+    ) -> Dict[str, float]:
+        logger.info("=" * 50)
+        logger.info("BIOLOGICAL VALIDATION")
+        logger.info("=" * 50)
+        all_results: Dict[str, float] = {}
+
+        all_results.update(
+            self.validate_mutation_cooccurrence(real_mutations, synth_mutations)
+        )
+        if pathway_gene_matrix is not None:
+            all_results.update(
+                self.validate_pathway_coherence(
+                    real_expression, synth_expression, pathway_gene_matrix
+                )
+            )
+        all_results.update(
+            self.validate_mutation_expression_correlation(
+                synth_mutations, synth_expression, synth_pathways
+            )
+        )
+
+        real_combined = np.concatenate(
+            [real_mutations.values, real_expression.values, real_pathways.values],
+            axis=1,
+        ).astype(np.float32)
+        synth_combined = np.concatenate(
+            [synth_mutations.values, synth_expression.values, synth_pathways.values],
+            axis=1,
+        ).astype(np.float32)
+        all_results.update(self.statistical_tests(real_combined, synth_combined))
+
+        # Overall score: mean of the 4 normalized components
+        # (validation.py:368-385).
+        components: List[float] = []
+        if "mutation_frequency_correlation" in all_results:
+            components.append(all_results["mutation_frequency_correlation"])
+        if "cooccurrence_pattern_correlation" in all_results:
+            components.append(all_results["cooccurrence_pattern_correlation"])
+        if "mutual_exclusivity_violation_rate" in all_results:
+            components.append(1 - all_results["mutual_exclusivity_violation_rate"])
+        if "mutation_expression_violation_rate" in all_results:
+            components.append(1 - all_results["mutation_expression_violation_rate"])
+        if components:
+            all_results["overall_biological_score"] = float(np.mean(components))
+            logger.info(
+                "Overall Biological Score: %.3f",
+                all_results["overall_biological_score"],
+            )
+        return all_results

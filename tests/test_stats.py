@@ -1,0 +1,131 @@
+"""On-device statistics vs scipy/sklearn references.
+
+SURVEY §4 test plan item (a): MMD against brute force, KS/Wasserstein/
+chi-square against scipy, PCA projection against sklearn.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats as sps
+from scipy.spatial import distance as spd
+
+from osteosarcoma_diffusionmodel_tpu.ops.stats import (
+    chi2_binary_pairs,
+    columnwise_corr,
+    ks_test_features,
+    mean_pairwise_corr_within_groups,
+    mmd_rbf,
+    pca_project,
+    pearson_corr,
+    wasserstein_1d,
+)
+
+
+def brute_mmd(x, y, gamma):
+    def k(a, b):
+        return np.exp(-gamma * spd.cdist(a, b, "sqeuclidean"))
+
+    return np.sqrt(max(k(x, x).mean() + k(y, y).mean() - 2 * k(x, y).mean(), 0))
+
+
+def test_mmd_matches_bruteforce(rng):
+    x = rng.normal(size=(40, 12)).astype(np.float32)
+    y = rng.normal(loc=0.3, size=(60, 12)).astype(np.float32)
+    gamma = 1.0 / 12
+    ours = float(mmd_rbf(jnp.asarray(x), jnp.asarray(y)))
+    expected = brute_mmd(x, y, gamma)
+    np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_mmd_identical_distributions_near_zero(rng):
+    x = rng.normal(size=(50, 8)).astype(np.float32)
+    val = float(mmd_rbf(jnp.asarray(x), jnp.asarray(x)))
+    assert val < 1e-3
+
+
+def test_ks_statistic_matches_scipy(rng):
+    x = rng.normal(size=(80, 5)).astype(np.float32)
+    y = rng.normal(loc=0.5, size=(120, 5)).astype(np.float32)
+    stats, pvals = ks_test_features(jnp.asarray(x), jnp.asarray(y))
+    for i in range(5):
+        ref_stat, ref_p = sps.ks_2samp(x[:, i], y[:, i], method="asymp")
+        np.testing.assert_allclose(float(stats[i]), ref_stat, rtol=1e-5)
+        np.testing.assert_allclose(float(pvals[i]), ref_p, rtol=0.05, atol=0.01)
+
+
+def test_wasserstein_matches_scipy(rng):
+    u = rng.normal(size=100).astype(np.float32)
+    v = rng.normal(loc=1.0, scale=2.0, size=150).astype(np.float32)
+    ours = float(wasserstein_1d(jnp.asarray(u), jnp.asarray(v)))
+    ref = sps.wasserstein_distance(u, v)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_pca_projection_matches_sklearn(rng):
+    from sklearn.decomposition import PCA
+
+    x = rng.normal(size=(60, 20)).astype(np.float64)
+    y = rng.normal(size=(30, 20)).astype(np.float64)
+    ours_fit, ours_proj = pca_project(jnp.asarray(x), jnp.asarray(y), 5)
+    pca = PCA(n_components=5)
+    ref_fit = pca.fit_transform(x)
+    ref_proj = pca.transform(y)
+    # Component signs are arbitrary; compare absolute values.
+    np.testing.assert_allclose(
+        np.abs(np.asarray(ours_fit)), np.abs(ref_fit), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.abs(np.asarray(ours_proj)), np.abs(ref_proj), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_chi2_matches_scipy(rng):
+    a = rng.integers(0, 2, size=(100, 6)).astype(np.float32)
+    pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    pair_i = np.array([p[0] for p in pairs])
+    pair_j = np.array([p[1] for p in pairs])
+    ours = np.asarray(
+        chi2_binary_pairs(jnp.asarray(a), jnp.asarray(pair_i), jnp.asarray(pair_j))
+    )
+    import pandas as pd
+
+    for k, (i, j) in enumerate(pairs):
+        table = pd.crosstab(a[:, i], a[:, j])
+        ref = sps.chi2_contingency(table)[0]
+        np.testing.assert_allclose(ours[k], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_chi2_degenerate_column_zero(rng):
+    a = rng.integers(0, 2, size=(50, 2)).astype(np.float32)
+    a[:, 0] = 1.0  # constant column
+    out = np.asarray(chi2_binary_pairs(jnp.asarray(a), jnp.asarray([0]), jnp.asarray([1])))
+    assert out[0] == 0.0
+
+
+def test_pearson_and_columnwise(rng):
+    x = rng.normal(size=200).astype(np.float32)
+    y = 0.7 * x + 0.3 * rng.normal(size=200).astype(np.float32)
+    ours = float(pearson_corr(jnp.asarray(x), jnp.asarray(y)))
+    ref = np.corrcoef(x, y)[0, 1]
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+    a = rng.normal(size=(50, 4)).astype(np.float32)
+    b = rng.normal(size=(50, 4)).astype(np.float32)
+    cc = np.asarray(columnwise_corr(jnp.asarray(a), jnp.asarray(b)))
+    for k in range(4):
+        np.testing.assert_allclose(cc[k], np.corrcoef(a[:, k], b[:, k])[0, 1],
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_group_pairwise_corr_matches_bruteforce(rng):
+    x = rng.normal(size=(40, 10)).astype(np.float32)
+    mask = np.zeros((10, 2), np.float32)
+    mask[:4, 0] = 1
+    mask[4:10, 1] = 1
+    ours = np.asarray(mean_pairwise_corr_within_groups(jnp.asarray(x), jnp.asarray(mask)))
+    for p in range(2):
+        genes = np.where(mask[:, p] > 0)[0]
+        corr = np.corrcoef(x[:, genes].T)
+        iu = np.triu_indices(len(genes), k=1)
+        np.testing.assert_allclose(ours[p], corr[iu].mean(), rtol=1e-3, atol=1e-4)
