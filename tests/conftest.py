@@ -20,6 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon TPU plugin's sitecustomize force-appends its platform to
+# jax_platforms at interpreter start; override after import so tests run
+# on the virtual 8-device CPU mesh regardless.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: repeated test runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

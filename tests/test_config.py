@@ -1,0 +1,112 @@
+"""Config system: YAML round-trip, reference-schema compat, dim freezing."""
+
+from pathlib import Path
+
+import pytest
+import yaml
+
+from osteosarcoma_diffusionmodel_tpu.config import (
+    CONDITION_COLUMN_MAP,
+    Config,
+    FrozenDims,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_default_config_matches_reference_defaults():
+    cfg = Config()
+    assert cfg.model.architecture == "diffusion"
+    assert cfg.model.hidden_dims == [256, 512, 256]
+    assert cfg.model.diffusion.num_steps == 1000
+    assert cfg.model.diffusion.beta_schedule == "cosine"
+    assert cfg.training.batch_size == 16
+    assert cfg.training.learning_rate == pytest.approx(1e-4)
+    assert cfg.evaluation.driver_genes[0] == "TP53"
+    assert len(cfg.generation.scenarios) == 3
+
+
+def test_yaml_roundtrip(tmp_path):
+    cfg = Config()
+    cfg.model.architecture = "cvae"
+    cfg.training.num_epochs = 123
+    cfg.to_yaml(tmp_path / "c.yaml")
+    cfg2 = Config.from_yaml(tmp_path / "c.yaml")
+    assert cfg2.model.architecture == "cvae"
+    assert cfg2.training.num_epochs == 123
+    assert cfg2.generation.scenarios[0].name == cfg.generation.scenarios[0].name
+    assert cfg2.evaluation.required_correlations[0].direction == "negative"
+
+
+def test_repo_config_loads():
+    cfg = Config.from_yaml(REPO / "config" / "config.yaml")
+    assert cfg.model.architecture == "diffusion"
+    assert cfg.model.constraints.enabled
+    assert cfg.generation.sampler == "ddpm"
+
+
+def test_loads_reference_style_yaml(tmp_path):
+    """A YAML in the reference's exact schema (incl. keys we ignore)
+    must load cleanly."""
+    raw = {
+        "data": {"gdc_project": "TARGET-OS", "min_samples_per_gene": 5},
+        "model": {
+            "architecture": "diffusion",
+            "n_genes": None,
+            "latent_dim": 64,
+            "hidden_dims": [128, 256, 128],
+            "gnn": {"type": "GAT", "num_layers": 3, "heads": 4, "dropout": 0.3},
+            "diffusion": {"num_steps": 500, "beta_schedule": "linear",
+                          "loss_type": "l1"},
+            "condition_on": ["survival_time", "event_occurred"],
+            "constraints": {"pathway_coherence_weight": 2.0},
+        },
+        "training": {"batch_size": 8, "augmentation": {"mixup_alpha": 0.0,
+                                                       "pathway_noise": 0.05}},
+        "evaluation": {
+            "driver_genes": ["TP53"],
+            "mutually_exclusive_pairs": [["TP53", "MDM2"]],
+            "required_correlations": [
+                {"mutation": "TP53", "pathway": "HALLMARK_P53_PATHWAY",
+                 "direction": "negative"}
+            ],
+        },
+        "generation": {
+            "num_synthetic_samples": 99,
+            "scenarios": [
+                {"name": "x", "conditions": {"survival_time": 100}},
+            ],
+        },
+        "output": {"export_formats": ["csv", "h5", "pickle"]},
+    }
+    path = tmp_path / "ref.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(raw, f)
+    cfg = Config.from_yaml(path)
+    assert cfg.model.latent_dim == 64
+    assert cfg.model.diffusion.loss_type == "l1"
+    assert cfg.model.gnn.dropout == 0.3
+    assert cfg.model.constraints.pathway_coherence_weight == 2.0
+    assert cfg.generation.num_synthetic_samples == 99
+    assert cfg.generation.scenarios[0].name == "x"
+    assert cfg.output.export_formats == ["csv", "h5", "pickle"]
+
+
+def test_freeze_dims():
+    cfg = Config()
+    dims = cfg.freeze_dims(62, 5054, 26, ["a", "b", "c"],
+                           survival_mean=750.0, survival_std=450.0)
+    assert dims.data_dim == 5142
+    assert dims.condition_dim == 3
+    assert cfg.model.n_genes_mutation == 62
+    assert cfg.model.n_conditions == 3
+    assert dims.survival_mean == 750.0
+
+
+def test_condition_resolution():
+    cfg = Config()
+    cols = ["survival_days_norm", "event_occurred", "age_years"]
+    resolved = cfg.resolve_condition_columns(cols)
+    # metastasis not available -> dropped; survival_time mapped.
+    assert resolved == ["survival_days_norm", "event_occurred"]
+    assert CONDITION_COLUMN_MAP["age"] == "age_years"

@@ -1,0 +1,87 @@
+"""Generator: scenario condition encoding, splitting, binarization.
+
+Parity targets: reference utils/generate.py:39-144.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from osteosarcoma_diffusionmodel_tpu.config import Config
+from osteosarcoma_diffusionmodel_tpu.generation.generator import (
+    SyntheticPatientGenerator,
+)
+from osteosarcoma_diffusionmodel_tpu.models.diffusion import ConditionalDiffusion
+
+
+@pytest.fixture(scope="module")
+def generator():
+    cfg = Config()
+    cfg.model.hidden_dims = [32, 64, 32]
+    cfg.model.latent_dim = 16
+    cfg.model.diffusion.num_steps = 6
+    cfg.model.compute_dtype = "float32"
+    cfg.model.constraints.enabled = False
+    cfg.generation.condition_normalization = "fixed"
+    dims = cfg.freeze_dims(5, 12, 3, ["survival_days_norm", "event_occurred",
+                                      "metastasis_at_diagnosis"],
+                           survival_mean=900.0, survival_std=400.0)
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    return SyntheticPatientGenerator(model, params, cfg, dims)
+
+
+def test_fixed_condition_encoding(generator):
+    # Reference hard-codes (x - 800) / 500 (generate.py:66).
+    cond = generator.create_conditions(
+        4, {"survival_time": 1300, "event_occurred": 1,
+            "metastasis_at_diagnosis": 0},
+    )
+    assert cond.shape == (4, 3)
+    np.testing.assert_allclose(np.asarray(cond[0]), [1.0, 1.0, 0.0], atol=1e-6)
+    # All rows identical.
+    assert np.all(np.asarray(cond) == np.asarray(cond[0]))
+
+
+def test_train_stats_condition_encoding(generator):
+    generator.config.generation.condition_normalization = "train_stats"
+    try:
+        cond = generator.create_conditions(2, {"survival_time": 1300})
+        np.testing.assert_allclose(float(cond[0, 0]), (1300 - 900) / 400,
+                                   atol=1e-6)
+    finally:
+        generator.config.generation.condition_normalization = "fixed"
+
+
+def test_condition_defaults(generator):
+    cond = np.asarray(generator.create_conditions(1, {}))
+    # Defaults: survival 800 -> 0 under fixed norm; event 0; metastasis 0.
+    np.testing.assert_allclose(cond[0], [0.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_random_conditions_without_scenario(generator):
+    cond = generator.create_conditions(16, None, rng=jax.random.PRNGKey(1))
+    assert cond.shape == (16, 3)
+    assert float(np.std(np.asarray(cond))) > 0.1
+
+
+def test_generate_splits_and_binarizes(generator):
+    out = generator.generate(6, {"survival_time": 800},
+                             rng=jax.random.PRNGKey(0))
+    assert out["mutations"].shape == (6, 5)
+    assert out["expression"].shape == (6, 12)
+    assert out["pathways"].shape == (6, 3)
+    assert set(np.unique(out["mutations"])) <= {0.0, 1.0}
+    assert out["conditions"].shape == (6, 3)
+
+
+def test_ddim_path(generator):
+    generator.config.generation.sampler = "ddim"
+    generator.config.generation.sampling_steps = 3
+    try:
+        out = generator.generate(4, {"survival_time": 800},
+                                 rng=jax.random.PRNGKey(0))
+        assert out["expression"].shape == (4, 12)
+        assert np.all(np.isfinite(out["expression"]))
+    finally:
+        generator.config.generation.sampler = "ddpm"
