@@ -1,0 +1,264 @@
+"""Post-hoc analysis and reporting — the notebook, as library code.
+
+Capability parity with reference notebooks/analysis.ipynb (19 cells):
+mutation-frequency scatter, driver-gene frequency bars, pathway score
+distributions, 2-D embedding of real + synthetic cohorts, Kaplan-Meier
+survival curves per scenario, validation metric bars, and the text
+summary report with the notebook's pass/review/fail thresholds at
+0.85 / 0.70.
+
+Environment-gated substitutions (documented divergences):
+- UMAP -> PCA 2-D embedding when `umap-learn` is absent (this image),
+  same plot semantics
+- lifelines -> a built-in numpy Kaplan-Meier estimator
+  (`kaplan_meier`), verified against the closed-form product-limit
+  definition in tests
+Figures require matplotlib (present here) and are skipped gracefully
+without it; the text report never needs it.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+logger = logging.getLogger(__name__)
+
+PASS_THRESHOLD = 0.85
+REVIEW_THRESHOLD = 0.70
+
+
+def _matplotlib():
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        return plt
+    except ImportError:
+        return None
+
+
+# ----------------------------------------------------------------------
+# Kaplan-Meier (lifelines replacement)
+# ----------------------------------------------------------------------
+def kaplan_meier(
+    times: np.ndarray, events: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Product-limit survival estimator.
+
+    Returns (event_times, S(t)) with S evaluated after each distinct
+    event time: S(t) = prod_{t_i <= t} (1 - d_i / n_i).
+    """
+    times = np.asarray(times, np.float64)
+    events = np.asarray(events).astype(bool)
+    order = np.argsort(times)
+    times, events = times[order], events[order]
+
+    uniq = np.unique(times[events]) if events.any() else np.array([])
+    surv = []
+    s = 1.0
+    n = len(times)
+    for t in uniq:
+        at_risk = np.sum(times >= t)
+        deaths = np.sum((times == t) & events)
+        s *= 1.0 - deaths / at_risk
+        surv.append(s)
+    return uniq, np.asarray(surv)
+
+
+# ----------------------------------------------------------------------
+# Embedding (umap replacement)
+# ----------------------------------------------------------------------
+def embed_2d(real: np.ndarray, synthetic: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """2-D embedding of real + synthetic: UMAP when available, else PCA."""
+    combined = np.concatenate([real, synthetic], axis=0)
+    try:
+        import umap  # noqa: F401
+
+        reducer = umap.UMAP(n_components=2, random_state=0)
+        emb = reducer.fit_transform(combined)
+    except ImportError:
+        centered = combined - combined.mean(axis=0, keepdims=True)
+        _, _, vt = np.linalg.svd(centered, full_matrices=False)
+        emb = centered @ vt[:2].T
+    return emb[: len(real)], emb[len(real):]
+
+
+# ----------------------------------------------------------------------
+# Report
+# ----------------------------------------------------------------------
+def grade(score: float) -> str:
+    if score >= PASS_THRESHOLD:
+        return "PASS"
+    if score >= REVIEW_THRESHOLD:
+        return "REVIEW"
+    return "FAIL"
+
+
+def write_summary_report(
+    validation_results: Dict[str, float], output_path: Path
+) -> str:
+    """Text summary with the notebook's pass/review/fail grading."""
+    lines = [
+        "SYNTHETIC PATIENT VALIDATION SUMMARY",
+        "=" * 50,
+        "",
+    ]
+    for key in sorted(validation_results):
+        lines.append(f"{key:45s} {validation_results[key]: .4f}")
+    lines.append("")
+    overall = validation_results.get("overall_biological_score")
+    if overall is not None:
+        lines.append(f"Overall biological score: {overall:.3f} -> {grade(overall)}")
+        lines.append(
+            f"(PASS >= {PASS_THRESHOLD}, REVIEW >= {REVIEW_THRESHOLD}, "
+            f"FAIL below)"
+        )
+    report = "\n".join(lines)
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+    output_path.write_text(report)
+    logger.info("Wrote summary report to %s", output_path)
+    return report
+
+
+class AnalysisReport:
+    """Generate the notebook's figures + text report from pipeline outputs."""
+
+    def __init__(self, config, figures_dir: Optional[Path] = None):
+        self.config = config
+        self.figures_dir = Path(figures_dir or config.output.figures_dir)
+        self.figures_dir.mkdir(parents=True, exist_ok=True)
+
+    def _save(self, fig, name: str) -> Optional[Path]:
+        path = self.figures_dir / name
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        logger.info("Wrote figure %s", path)
+        return path
+
+    def mutation_frequency_scatter(
+        self, real_mut: pd.DataFrame, synth_mut: pd.DataFrame
+    ) -> Optional[Path]:
+        plt = _matplotlib()
+        if plt is None:
+            return None
+        common = real_mut.columns.intersection(synth_mut.columns)
+        rf = real_mut[common].mean()
+        sf = synth_mut[common].mean()
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.scatter(rf, sf, s=12, alpha=0.6)
+        lim = max(float(rf.max()), float(sf.max()), 0.01)
+        ax.plot([0, lim], [0, lim], "k--", lw=1)
+        ax.set_xlabel("Real mutation frequency")
+        ax.set_ylabel("Synthetic mutation frequency")
+        ax.set_title("Mutation frequency: real vs synthetic")
+        out = self._save(fig, "mutation_frequency_scatter.png")
+        plt.close(fig)
+        return out
+
+    def driver_gene_bars(
+        self, real_mut: pd.DataFrame, synth_mut: pd.DataFrame
+    ) -> Optional[Path]:
+        plt = _matplotlib()
+        if plt is None:
+            return None
+        drivers = [g for g in self.config.evaluation.driver_genes
+                   if g in real_mut.columns and g in synth_mut.columns]
+        if not drivers:
+            return None
+        x = np.arange(len(drivers))
+        fig, ax = plt.subplots(figsize=(7, 4))
+        ax.bar(x - 0.2, real_mut[drivers].mean(), width=0.4, label="real")
+        ax.bar(x + 0.2, synth_mut[drivers].mean(), width=0.4, label="synthetic")
+        ax.set_xticks(x, drivers, rotation=45)
+        ax.set_ylabel("Mutation frequency")
+        ax.set_title("Driver gene mutation rates")
+        ax.legend()
+        out = self._save(fig, "driver_gene_frequencies.png")
+        plt.close(fig)
+        return out
+
+    def pathway_histograms(
+        self, real_path: pd.DataFrame, synth_path: pd.DataFrame,
+        max_pathways: int = 6,
+    ) -> Optional[Path]:
+        plt = _matplotlib()
+        if plt is None:
+            return None
+        cols = list(real_path.columns[:max_pathways])
+        fig, axes = plt.subplots(2, 3, figsize=(12, 6))
+        for ax, col in zip(axes.ravel(), cols):
+            ax.hist(real_path[col], bins=20, alpha=0.5, density=True,
+                    label="real")
+            if col in synth_path.columns:
+                ax.hist(synth_path[col], bins=20, alpha=0.5, density=True,
+                        label="synthetic")
+            ax.set_title(col.replace("HALLMARK_", ""), fontsize=7)
+        axes.ravel()[0].legend(fontsize=7)
+        fig.suptitle("Pathway score distributions")
+        out = self._save(fig, "pathway_histograms.png")
+        plt.close(fig)
+        return out
+
+    def embedding_plot(
+        self, real: np.ndarray, synthetic: np.ndarray
+    ) -> Optional[Path]:
+        plt = _matplotlib()
+        if plt is None:
+            return None
+        r2, s2 = embed_2d(real, synthetic)
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.scatter(r2[:, 0], r2[:, 1], s=10, alpha=0.7, label="real")
+        ax.scatter(s2[:, 0], s2[:, 1], s=6, alpha=0.4, label="synthetic")
+        ax.set_title("Cohort embedding (real vs synthetic)")
+        ax.legend()
+        out = self._save(fig, "cohort_embedding.png")
+        plt.close(fig)
+        return out
+
+    def km_curves(
+        self, scenario_survival: Dict[str, Tuple[np.ndarray, np.ndarray]]
+    ) -> Optional[Path]:
+        """Kaplan-Meier curves per scenario: {name: (times, events)}."""
+        plt = _matplotlib()
+        if plt is None:
+            return None
+        fig, ax = plt.subplots(figsize=(7, 5))
+        for name, (times, events) in scenario_survival.items():
+            t, s = kaplan_meier(times, events)
+            if len(t) == 0:
+                continue
+            ax.step(np.concatenate([[0], t]), np.concatenate([[1.0], s]),
+                    where="post", label=name)
+        ax.set_xlabel("Days")
+        ax.set_ylabel("Survival probability")
+        ax.set_title("Kaplan-Meier survival by scenario")
+        ax.set_ylim(0, 1.05)
+        ax.legend(fontsize=8)
+        out = self._save(fig, "kaplan_meier.png")
+        plt.close(fig)
+        return out
+
+    def validation_bars(
+        self, validation_results: Dict[str, float]
+    ) -> Optional[Path]:
+        plt = _matplotlib()
+        if plt is None:
+            return None
+        keys = [k for k in validation_results
+                if "correlation" in k or "score" in k or "rate" in k]
+        fig, ax = plt.subplots(figsize=(8, 4))
+        vals = [validation_results[k] for k in keys]
+        ax.barh(range(len(keys)), vals)
+        ax.set_yticks(range(len(keys)), keys, fontsize=7)
+        ax.axvline(PASS_THRESHOLD, color="g", ls="--", lw=1)
+        ax.axvline(REVIEW_THRESHOLD, color="orange", ls="--", lw=1)
+        ax.set_title("Validation metrics")
+        out = self._save(fig, "validation_metrics.png")
+        plt.close(fig)
+        return out

@@ -128,8 +128,18 @@ def train_model(config: Config, resume: bool = False):
     history = trainer.train(resume=resume)
 
     # Persist the dim-frozen config for the generate step
-    # (reference main.py:183-184).
+    # (reference main.py:183-184) and the loss history for analysis.
     config.to_yaml(UPDATED_CONFIG_PATH)
+    results_dir = Path(config.output.results_dir)
+    results_dir.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(
+        {
+            "epoch": range(len(history.train_loss)),
+            "train_loss": history.train_loss,
+            "val_loss": history.val_loss,
+            "epoch_seconds": history.epoch_seconds,
+        }
+    ).to_csv(results_dir / "training_history.csv", index=False)
     logger.info("Training complete!")
     return history
 
@@ -228,6 +238,68 @@ def validate_synthetic_patients(config: Config) -> Dict[str, float]:
     return results
 
 
+def analysis_report(config: Config) -> Dict[str, float]:
+    """Extra step: notebook-equivalent figures + graded text summary
+    (reference notebooks/analysis.ipynb as library code)."""
+    _banner("REPORT: analysis figures + summary")
+    from .analysis.report import AnalysisReport, write_summary_report
+
+    processed_dir = Path(config.data.processed_dir)
+    results_dir = Path(config.output.results_dir)
+
+    real_mut = pd.read_csv(processed_dir / "mutation_matrix_aligned.csv", index_col=0)
+    real_expr = pd.read_csv(
+        processed_dir / "expression_matrix_aligned.csv", index_col=0
+    )
+    real_path = pd.read_csv(processed_dir / "pathway_scores.csv", index_col=0)
+    clinical = pd.read_csv(processed_dir / "clinical_aligned.csv")
+
+    output_dir = Path(config.output.synthetic_data_dir)
+    muts, exprs, paths = [], [], []
+    scenario_survival = {}
+    if "survival_days" in clinical.columns and "event_occurred" in clinical.columns:
+        scenario_survival["real_cohort"] = (
+            clinical["survival_days"].values, clinical["event_occurred"].values
+        )
+    for scenario in config.generation.scenarios:
+        scenario_dir = output_dir / scenario.name
+        if not (scenario_dir / f"{scenario.name}_mutations.csv").exists():
+            continue
+        muts.append(pd.read_csv(scenario_dir / f"{scenario.name}_mutations.csv"))
+        exprs.append(pd.read_csv(scenario_dir / f"{scenario.name}_expression.csv"))
+        paths.append(pd.read_csv(scenario_dir / f"{scenario.name}_pathways.csv"))
+        n = len(muts[-1])
+        surv = float(scenario.conditions.get("survival_time", 800))
+        event = int(scenario.conditions.get("event_occurred", 0))
+        scenario_survival[scenario.name] = (
+            np.full(n, surv), np.full(n, event)
+        )
+    if not muts:
+        raise FileNotFoundError("No synthetic scenario data; run generate first")
+    synth_mut = pd.concat(muts, ignore_index=True)
+    synth_expr = pd.concat(exprs, ignore_index=True)
+    synth_path = pd.concat(paths, ignore_index=True)
+
+    report = AnalysisReport(config)
+    report.mutation_frequency_scatter(real_mut, synth_mut)
+    report.driver_gene_bars(real_mut, synth_mut)
+    report.pathway_histograms(real_path, synth_path)
+    common_expr = real_expr.columns.intersection(synth_expr.columns)
+    report.embedding_plot(
+        real_expr[common_expr].values, synth_expr[common_expr].values
+    )
+    report.km_curves(scenario_survival)
+
+    validation_path = results_dir / "validation_results.csv"
+    results: Dict[str, float] = {}
+    if validation_path.exists():
+        results = pd.read_csv(validation_path).iloc[0].to_dict()
+        report.validation_bars(results)
+        write_summary_report(results, results_dir / "summary_report.txt")
+    logger.info("Analysis artifacts in %s", config.output.figures_dir)
+    return results
+
+
 def doctor(config: Config) -> Dict[str, str]:
     """Dimension-consistency checks (reference debug_model.py parity)."""
     _banner("DOCTOR: config / data / checkpoint consistency")
@@ -296,6 +368,7 @@ STEP_FUNCTIONS = {
     "pathways": compute_pathway_features,
     "generate": generate_synthetic_patients,
     "validate": validate_synthetic_patients,
+    "report": analysis_report,
     "doctor": doctor,
 }
 
@@ -311,7 +384,7 @@ def main(argv=None):
                         help="Path to configuration file")
     parser.add_argument(
         "--steps", nargs="+", default=["all"],
-        choices=ALL_STEPS + ["all", "doctor"],
+        choices=ALL_STEPS + ["all", "report", "doctor"],
         help="Pipeline steps to run",
     )
     parser.add_argument("--resume-training", action="store_true",

@@ -27,6 +27,29 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization hook (optional future-proofing;
+    single-slice ICI needs nothing — SURVEY §2 notes multi-host is not
+    required for parity but the mesh abstraction should allow it).
+
+    No-ops when no coordinator is configured (env or args).
+    """
+    import os
+
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", 1)),
+        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", 0)),
+    )
+
+
 def make_mesh(
     num_devices: Optional[int] = None,
     model_parallel: int = 1,

@@ -228,8 +228,11 @@ class BiologicalValidator:
         results["ks_test_mean_pvalue"] = float(pvals.mean())
         results["ks_test_fraction_significant"] = float((pvals < 0.05).mean())
 
-        # MMD with gamma = 1/d (validation.py:284-298).
-        results["mmd"] = float(mmd_rbf(real, synth))
+        # MMD with gamma = 1/d (validation.py:284-298). On TPU the tiled
+        # Pallas kernel avoids materializing the n x m Gram matrix.
+        from ..ops.pallas_kernels import mmd_rbf_auto
+
+        results["mmd"] = float(mmd_rbf_auto(real, synth))
 
         # Wasserstein over 10 PCA components (validation.py:256-269).
         n_comp = min(n_pca_components, real.shape[0], real.shape[1])

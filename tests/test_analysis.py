@@ -1,0 +1,85 @@
+"""Analysis/report module: KM estimator, grading, report generation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osteosarcoma_diffusionmodel_tpu.analysis.report import (
+    AnalysisReport,
+    embed_2d,
+    grade,
+    kaplan_meier,
+    write_summary_report,
+)
+from osteosarcoma_diffusionmodel_tpu.config import Config
+
+
+def test_kaplan_meier_closed_form():
+    # 4 subjects: events at t=1,2; censored at t=1.5, 3.
+    times = np.array([1.0, 1.5, 2.0, 3.0])
+    events = np.array([1, 0, 1, 0])
+    t, s = kaplan_meier(times, events)
+    np.testing.assert_array_equal(t, [1.0, 2.0])
+    # S(1) = 1 - 1/4 = 0.75 ; S(2) = 0.75 * (1 - 1/2) = 0.375
+    np.testing.assert_allclose(s, [0.75, 0.375])
+
+
+def test_kaplan_meier_no_events():
+    t, s = kaplan_meier(np.array([1.0, 2.0]), np.array([0, 0]))
+    assert len(t) == 0
+
+
+def test_kaplan_meier_ties():
+    times = np.array([1.0, 1.0, 1.0, 2.0])
+    events = np.array([1, 1, 0, 1])
+    t, s = kaplan_meier(times, events)
+    # At t=1: n=4, d=2 -> S=0.5 ; at t=2: n=1, d=1 -> S=0.
+    np.testing.assert_allclose(s, [0.5, 0.0])
+
+
+def test_grade_thresholds():
+    assert grade(0.9) == "PASS"
+    assert grade(0.85) == "PASS"
+    assert grade(0.75) == "REVIEW"
+    assert grade(0.5) == "FAIL"
+
+
+def test_summary_report(tmp_path):
+    results = {"overall_biological_score": 0.88, "mmd": 0.12}
+    text = write_summary_report(results, tmp_path / "summary.txt")
+    assert "PASS" in text
+    assert (tmp_path / "summary.txt").exists()
+
+
+def test_embed_2d_shapes(rng):
+    real = rng.normal(size=(20, 10))
+    synth = rng.normal(size=(30, 10))
+    r2, s2 = embed_2d(real, synth)
+    assert r2.shape == (20, 2)
+    assert s2.shape == (30, 2)
+
+
+def test_figures_generated(tmp_path, rng):
+    cfg = Config()
+    cfg.output.figures_dir = str(tmp_path / "figs")
+    report = AnalysisReport(cfg)
+    real_mut = pd.DataFrame(rng.integers(0, 2, (20, 6)).astype(float),
+                            columns=["TP53", "RB1", "A", "B", "C", "D"])
+    synth_mut = pd.DataFrame(rng.integers(0, 2, (30, 6)).astype(float),
+                             columns=real_mut.columns)
+    out = report.mutation_frequency_scatter(real_mut, synth_mut)
+    assert out is not None and out.exists()
+    out2 = report.driver_gene_bars(real_mut, synth_mut)
+    assert out2 is not None and out2.exists()
+    path_df = pd.DataFrame(rng.normal(size=(20, 6)),
+                           columns=[f"HALLMARK_{i}" for i in range(6)])
+    out3 = report.pathway_histograms(path_df, path_df)
+    assert out3 is not None and out3.exists()
+    out4 = report.km_curves({
+        "s1": (rng.integers(100, 2000, 20), rng.integers(0, 2, 20)),
+    })
+    assert out4 is not None and out4.exists()
+    out5 = report.validation_bars({"overall_biological_score": 0.8,
+                                   "mmd": 0.1,
+                                   "mutation_frequency_correlation": 0.9})
+    assert out5 is not None and out5.exists()

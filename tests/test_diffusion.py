@@ -11,7 +11,10 @@ import numpy as np
 import pytest
 
 from osteosarcoma_diffusionmodel_tpu.config import Config
-from osteosarcoma_diffusionmodel_tpu.models.diffusion import ConditionalDiffusion
+from osteosarcoma_diffusionmodel_tpu.models.diffusion import (
+    ConditionalDiffusion,
+    derive_step_keys,
+)
 from osteosarcoma_diffusionmodel_tpu.models.networks import DiffusionDenoiser
 
 
@@ -82,7 +85,7 @@ def _reference_python_sampler(model, params, conditions, rng, num_samples):
     c_proj = model.denoiser.apply(
         {"params": params}, conditions, method=DiffusionDenoiser.embed_conditions
     )
-    step_keys = jax.random.split(scan_rng, T)
+    step_keys = derive_step_keys(scan_rng, T, model.sampler_rng_impl)
     acp = np.asarray(sched.alphas_cumprod)
     betas = np.asarray(sched.betas)
     alphas = 1.0 - betas
