@@ -4,10 +4,12 @@ The single numeric hot spot of the validate step is the RBF-kernel MMD
 (reference utils/validation.py:273-298): O(n^2 d) pairwise work that
 the reference runs through scipy.cdist on host. At 10k-cohort scale the
 naive approach materializes an n x m kernel matrix (10k x 10k f32 =
-400 MB) in HBM. The Pallas kernel tiles the Gram computation through
-VMEM — each (TM, TN) block computes distances via an MXU matmul, fuses
-the exp, masks padding, and reduces to a per-block partial sum, so
-nothing bigger than a tile ever leaves VMEM.
+400 MB) in HBM. The Pallas kernel blocks all three dimensions
+(flash-attention-style): the feature dimension streams through VMEM in
+`tile_k` chunks accumulating the cross products in a VMEM scratch tile,
+the exp/mask/reduce fuse at the last k-step, and every grid cell folds
+its partial sum into one (8, 128) accumulator — so VMEM holds only
+O(tile^2) state and HBM never sees a Gram matrix.
 """
 
 from __future__ import annotations
@@ -25,31 +27,57 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel_sum_block(x_ref, y_ref, out_ref, *, gamma, n, m, tile_m, tile_n):
-    """Partial sum of exp(-gamma * ||x_i - y_j||^2) over one tile."""
+def _kernel_sum_block(
+    x_ref, y_ref, x_sq_ref, y_sq_ref, out_ref, cross_ref,
+    *, gamma, n, m, tile_m, tile_n, num_k,
+):
+    """Grid (i, j, k), k innermost: accumulate X_i . Y_j^T over feature
+    chunks; at the last chunk fuse distances -> exp -> masked reduce.
+
+    The TPU grid executes sequentially, so all (i, j) cells fold their
+    masked tile sums into one shared (8, 128) VMEM accumulator (scalar
+    stores to VMEM are unsupported); the caller does the final reduce.
+    """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    x = x_ref[:]
-    y = y_ref[:]
-    cross = jax.lax.dot_general(
-        x, y,
+    k = pl.program_id(2)
+
+    @pl.when((i == 0) & (j == 0) & (k == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(k == 0)
+    def _():
+        cross_ref[:] = jnp.zeros_like(cross_ref)
+
+    cross_ref[:] += jax.lax.dot_general(
+        x_ref[:], y_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    x_sq = jnp.sum(x * x, axis=1, keepdims=True)
-    y_sq = jnp.sum(y * y, axis=1, keepdims=True)
-    sq = jnp.maximum(x_sq + y_sq.T - 2.0 * cross, 0.0)
-    k = jnp.exp(-gamma * sq)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 0) + i * tile_m
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1) + j * tile_n
-    mask = (row_ids < n) & (col_ids < m)
-    out_ref[0, 0] = jnp.sum(jnp.where(mask, k, 0.0))
+    @pl.when(k == num_k - 1)
+    def _():
+        sq = jnp.maximum(x_sq_ref[:] + y_sq_ref[:].T - 2.0 * cross_ref[:], 0.0)
+        kernel = jnp.exp(-gamma * sq)
+        row_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 0)
+            + i * tile_m
+        )
+        col_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
+            + j * tile_n
+        )
+        mask = (row_ids < n) & (col_ids < m)
+        masked = jnp.where(mask, kernel, 0.0)
+        out_ref[:] += jnp.sum(
+            masked.reshape(tile_m // 8, 8, tile_n // 128, 128), axis=(0, 2)
+        )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("gamma", "tile_m", "tile_n", "interpret")
+    jax.jit, static_argnames=("gamma", "tile_m", "tile_n", "tile_k", "interpret")
 )
 def rbf_kernel_sum(
     x: jnp.ndarray,
@@ -57,38 +85,54 @@ def rbf_kernel_sum(
     gamma: float,
     tile_m: int = 256,
     tile_n: int = 256,
+    tile_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """sum_ij exp(-gamma ||x_i - y_j||^2) via a tiled Pallas kernel."""
+    """sum_ij exp(-gamma ||x_i - y_j||^2) via the tiled Pallas kernel."""
+    if tile_m % 8 or tile_n % 128:
+        raise ValueError("tile_m must be a multiple of 8, tile_n of 128")
     n, d = x.shape
     m = y.shape[0]
-    d_pad = _round_up(d, 128)
+    d_pad = _round_up(d, tile_k)
     n_pad = _round_up(n, tile_m)
     m_pad = _round_up(m, tile_n)
     # Zero-padding features is exact (adds 0 to every distance); padded
     # rows are masked out inside the kernel.
     x = jnp.pad(x.astype(jnp.float32), ((0, n_pad - n), (0, d_pad - d)))
     y = jnp.pad(y.astype(jnp.float32), ((0, m_pad - m), (0, d_pad - d)))
+    x_sq = jnp.sum(x * x, axis=1, keepdims=True)
+    y_sq = jnp.sum(y * y, axis=1, keepdims=True)
 
-    grid = (n_pad // tile_m, m_pad // tile_n)
-    partials = pl.pallas_call(
+    num_k = d_pad // tile_k
+    grid = (n_pad // tile_m, m_pad // tile_n, num_k)
+    acc = pl.pallas_call(
         functools.partial(
             _kernel_sum_block,
-            gamma=gamma, n=n, m=m, tile_m=tile_m, tile_n=tile_n,
+            gamma=gamma, n=n, m=m, tile_m=tile_m, tile_n=tile_n, num_k=num_k,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_m, d_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_m, tile_k), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0),
+            pl.BlockSpec((tile_n, tile_k), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i, j, k: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((8, 128), lambda i, j, k: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(grid, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m_pad * d_pad,
+            bytes_accessed=4 * (n_pad * d_pad + m_pad * d_pad),
+            transcendentals=n_pad * m_pad,
+        ),
         interpret=interpret,
-    )(x, y)
-    return jnp.sum(partials)
+    )(x, y, x_sq, y_sq)
+    return jnp.sum(acc)
 
 
 def mmd_rbf_pallas(

@@ -207,11 +207,21 @@ class Trainer:
 
     def _make_train_step(self):
         mixup_alpha = self.config.training.augmentation.mixup_alpha
+        # `pathway_noise` is honored (the reference declares it at
+        # config.yaml:76 but never reads it): Gaussian jitter on the
+        # pathway block only, a regularizer for the tiny cohort.
+        pathway_noise = self.config.training.augmentation.pathway_noise
+        pathway_start = self.dims.mutation_dim + self.dims.expression_dim
 
         def step(params, opt_state, batch_stats, data, cond, surv, rng):
-            mix_rng, loss_rng = jax.random.split(rng)
+            mix_rng, noise_rng, loss_rng = jax.random.split(rng, 3)
             if mixup_alpha > 0:
                 data, cond, surv = mixup(mix_rng, data, cond, surv, mixup_alpha)
+            if pathway_noise > 0:
+                noise = jax.random.normal(
+                    noise_rng, data[:, pathway_start:].shape, jnp.float32
+                )
+                data = data.at[:, pathway_start:].add(pathway_noise * noise)
 
             (loss, (metrics, new_bs)), grads = jax.value_and_grad(
                 self._loss_with_aux, has_aux=True

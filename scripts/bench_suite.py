@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Extended benchmark suite: training throughput, sampler variants,
+validation statistics, at production dims on the attached accelerator.
+
+Complements bench.py (which prints the single headline line for the
+driver) with the secondary metrics BASELINE.json names: train steps/sec
+and the MMD/validate path. Writes BENCH_SUITE.json.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from osteosarcoma_diffusionmodel_tpu.config import Config
+from osteosarcoma_diffusionmodel_tpu.models.constraints import ConstraintSpec
+from osteosarcoma_diffusionmodel_tpu.models.diffusion import ConditionalDiffusion
+from osteosarcoma_diffusionmodel_tpu.ops.pallas_kernels import mmd_rbf_auto
+from osteosarcoma_diffusionmodel_tpu.ops.stats import ks_test_features, mmd_rbf
+
+REPO = Path(__file__).resolve().parent.parent
+M, E, P, C = 62, 5054, 26, 3
+
+
+def timeit(fn, *args, n=3):
+    jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    results = {}
+    config = Config()
+    dims = config.freeze_dims(M, E, P, ["s", "e", "m"])
+
+    # Constraint spec with realistic sparsity.
+    rng = np.random.default_rng(0)
+    mask = np.zeros((E, 20), np.float32)
+    for p in range(20):
+        mask[rng.choice(E, 15, replace=False), p] = 1.0
+    spec = ConstraintSpec(
+        mutation_dim=M, expression_dim=E, pathway_dim=P,
+        pathway_mask=mask,
+        exclusive_pairs=np.array([[0, 1]], np.int32),
+        rule_mutation_idx=np.array([0], np.int32),
+        rule_pathway_idx=np.array([0], np.int32),
+        rule_sign=np.array([-1.0], np.float32),
+    )
+    model = ConditionalDiffusion.from_config(config, dims, spec)
+    params = model.init_params(jax.random.PRNGKey(0), C)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(1e-4, weight_decay=1e-5))
+    opt_state = tx.init(params)
+
+    batch = 16  # reference batch size (config.yaml:64)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, dims.data_dim))
+    cond = jnp.zeros((batch, C))
+
+    @jax.jit
+    def train_step(params, opt_state, x0, cond, rng):
+        (loss, _), grads = jax.value_and_grad(model.loss, has_aux=True)(
+            params, x0, cond, rng, False
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    dt = timeit(lambda: train_step(params, opt_state, x0, cond,
+                                   jax.random.PRNGKey(2)), n=10)
+    results["train_step_sec_b16_constraints"] = dt
+    results["train_steps_per_sec_b16_constraints"] = 1.0 / dt
+
+    # Larger batch training.
+    x0b = jax.random.normal(jax.random.PRNGKey(1), (256, dims.data_dim))
+    condb = jnp.zeros((256, C))
+    dtb = timeit(lambda: train_step(params, opt_state, x0b, condb,
+                                    jax.random.PRNGKey(2)), n=10)
+    results["train_step_sec_b256_constraints"] = dtb
+    results["train_samples_per_sec_b256"] = 256 / dtb
+
+    # Sampler variants.
+    for batch_s in (1024, 8192):
+        cond_s = jnp.zeros((batch_s, C))
+        f = jax.jit(lambda p, c, k: model.sample(p, c, k))
+        dt = timeit(f, params, cond_s, jax.random.PRNGKey(3), n=2)
+        results[f"ddpm1000_patients_per_sec_b{batch_s}"] = batch_s / dt
+    cond_s = jnp.zeros((1024, C))
+    fd = jax.jit(lambda p, c, k: model.sample_ddim(p, c, k, 50))
+    dt = timeit(fd, params, cond_s, jax.random.PRNGKey(3), n=2)
+    results["ddim50_patients_per_sec_b1024"] = 1024 / dt
+
+    # Validation statistics at 10k-cohort scale.
+    real = jax.random.normal(jax.random.PRNGKey(4), (100, dims.data_dim))
+    synth = jax.random.normal(jax.random.PRNGKey(5), (10000, dims.data_dim))
+    results["mmd_10k_sec"] = timeit(lambda: mmd_rbf_auto(real, synth), n=2)
+    results["mmd_10k_pallas_equals_jnp"] = bool(
+        abs(float(mmd_rbf_auto(real, synth)) - float(mmd_rbf(real, synth)))
+        < 1e-3
+    )
+    results["ks100_10k_sec"] = timeit(
+        lambda: ks_test_features(real[:, :100], synth[:, :100]), n=2
+    )
+
+    results["device"] = str(jax.devices()[0])
+    with open(REPO / "BENCH_SUITE.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,8 @@ def test_kernel_sum_matches_dense(rng):
     y = rng.normal(size=(50, 33)).astype(np.float32)
     gamma = 1.0 / 33
     ours = float(rbf_kernel_sum(jnp.asarray(x), jnp.asarray(y), gamma,
-                                tile_m=32, tile_n=32, interpret=True))
+                                tile_m=32, tile_n=128, tile_k=128,
+                                interpret=True))
     sq = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
     expected = np.exp(-gamma * sq).sum()
     np.testing.assert_allclose(ours, expected, rtol=1e-4)

@@ -1,0 +1,90 @@
+"""Serving API: health, generate, metrics over real HTTP."""
+
+import http.client
+import json
+import threading
+
+import pytest
+
+from osteosarcoma_diffusionmodel_tpu.cli import train_model
+from osteosarcoma_diffusionmodel_tpu.config import Config
+from osteosarcoma_diffusionmodel_tpu.data.dataset import make_dummy_data
+from osteosarcoma_diffusionmodel_tpu.serving.server import (
+    GenerationService,
+    _bucket,
+    serve,
+)
+
+
+def test_bucket():
+    assert _bucket(1) == 1
+    assert _bucket(2) == 2
+    assert _bucket(3) == 4
+    assert _bucket(1000) == 1024
+
+
+@pytest.fixture(scope="module")
+def trained_checkpoint(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("serve")
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        make_dummy_data(tmp_path / "processed", n_samples=30,
+                        n_mutation_genes=8, n_expression_genes=32,
+                        n_pathways=4)
+        cfg = Config()
+        cfg.data.processed_dir = str(tmp_path / "processed")
+        cfg.model.hidden_dims = [32, 64, 32]
+        cfg.model.latent_dim = 16
+        cfg.model.diffusion.num_steps = 6
+        cfg.model.compute_dtype = "float32"
+        cfg.training.num_epochs = 2
+        cfg.training.batch_size = 8
+        cfg.training.save_dir = str(tmp_path / "ckpt")
+        train_model(cfg)
+    finally:
+        os.chdir(cwd)
+    return tmp_path / "ckpt"
+
+
+def test_service_generate(trained_checkpoint):
+    service = GenerationService(trained_checkpoint)
+    out = service.generate(3, {"survival_time": 500})
+    assert out["mutations"].shape[0] == 3
+    assert service.metrics["requests"] == 1
+
+
+def test_http_roundtrip(trained_checkpoint):
+    server = serve(trained_checkpoint, port=0, warmup=False)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/health")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok"
+
+        body = json.dumps({"num_samples": 2,
+                           "scenario": {"survival_time": 300,
+                                        "event_occurred": 1}})
+        conn.request("POST", "/generate", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = json.loads(conn.getresponse().read())
+        assert resp["num_samples"] == 2
+        assert len(resp["mutations"]) == 2
+        assert all(v in (0.0, 1.0) for row in resp["mutations"] for v in row)
+
+        conn.request("GET", "/metrics")
+        metrics = json.loads(conn.getresponse().read())
+        assert metrics["requests"] >= 1
+
+        # Bad request.
+        conn.request("POST", "/generate",
+                     body=json.dumps({"num_samples": -5}))
+        assert conn.getresponse().status == 400
+    finally:
+        server.shutdown()
+        server.server_close()
