@@ -1,0 +1,160 @@
+"""BiologicalValidator semantics on crafted cohorts.
+
+Parity targets: reference utils/validation.py:27-387.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osteosarcoma_diffusionmodel_tpu.config import Config
+from osteosarcoma_diffusionmodel_tpu.validation.validator import BiologicalValidator
+
+
+@pytest.fixture()
+def validator():
+    return BiologicalValidator(Config(), seed=0)
+
+
+def make_mutations(rng, n, genes, freqs):
+    data = (rng.random((n, len(genes))) < np.asarray(freqs)).astype(float)
+    return pd.DataFrame(data, columns=genes)
+
+
+def test_identical_cohorts_score_high(validator, rng):
+    genes = ["TP53", "RB1", "MDM2", "G1", "G2", "G3"]
+    freqs = [0.6, 0.4, 0.1, 0.3, 0.2, 0.5]
+    real = make_mutations(rng, 200, genes, freqs)
+    synth = make_mutations(rng, 200, genes, freqs)
+    res = validator.validate_mutation_cooccurrence(real, synth)
+    assert res["mutation_frequency_correlation"] > 0.9
+    assert res["driver_gene_frequency_diff"] < 0.1
+    assert "mutual_exclusivity_violation_rate" in res
+
+
+def test_exclusivity_violations_counted(validator):
+    genes = ["TP53", "MDM2"]
+    real = pd.DataFrame(np.zeros((10, 2)), columns=genes)
+    real.iloc[:5, 0] = 1  # TP53-only in real
+    synth = pd.DataFrame(np.ones((10, 2)), columns=genes)  # all co-mutated
+    res = validator.validate_mutation_cooccurrence(real, synth)
+    assert res["mutual_exclusivity_violation_rate"] == 1.0
+
+
+def test_mutation_expression_rules(validator, rng):
+    n = 300
+    mut = pd.DataFrame({"TP53": rng.integers(0, 2, n).astype(float),
+                        "MYC": rng.integers(0, 2, n).astype(float)})
+    path = pd.DataFrame({
+        # TP53 mutated -> p53 pathway DOWN (satisfies negative rule).
+        "HALLMARK_P53_PATHWAY": -mut["TP53"] + 0.1 * rng.normal(size=n),
+        # MYC mutated -> MYC targets UP (satisfies positive rule).
+        "HALLMARK_MYC_TARGETS_V1": mut["MYC"] + 0.1 * rng.normal(size=n),
+    })
+    res = validator.validate_mutation_expression_correlation(mut, None, path)
+    assert res["mutation_expression_violation_rate"] == 0.0
+
+    # Flip one relationship -> 50% violation.
+    path2 = path.copy()
+    path2["HALLMARK_P53_PATHWAY"] = -path["HALLMARK_P53_PATHWAY"]
+    res2 = validator.validate_mutation_expression_correlation(mut, None, path2)
+    assert res2["mutation_expression_violation_rate"] == 0.5
+
+
+def test_pathway_coherence_detects_structure(validator, rng):
+    n, g = 100, 12
+    cols = [f"G{i}" for i in range(g)]
+    # Real: first 4 genes strongly co-vary (pathway P0), rest independent.
+    base = rng.normal(size=(n, 1))
+    real = rng.normal(size=(n, g)) * 0.2
+    real[:, :4] += base
+    real_df = pd.DataFrame(real, columns=cols)
+    # Synthetic: same structure.
+    base2 = rng.normal(size=(n, 1))
+    synth = rng.normal(size=(n, g)) * 0.2
+    synth[:, :4] += base2
+    synth_df = pd.DataFrame(synth, columns=cols)
+
+    gpm = pd.DataFrame(0, index=cols, columns=["P0", "P1"])
+    gpm.loc[cols[:4], "P0"] = 1
+    gpm.loc[cols[4:8], "P1"] = 1
+
+    res = validator.validate_pathway_coherence(real_df, synth_df, gpm)
+    assert res["real_pathway_coherence"] > 0.3
+    assert res["synthetic_pathway_coherence"] > 0.3
+
+
+def test_statistical_tests_shapes(validator, rng):
+    real = rng.normal(size=(80, 150)).astype(np.float32)
+    synth = rng.normal(size=(120, 150)).astype(np.float32)
+    res = validator.statistical_tests(real, synth)
+    assert 0 <= res["ks_test_mean_pvalue"] <= 1
+    assert 0 <= res["ks_test_fraction_significant"] <= 1
+    assert res["mmd"] >= 0
+    assert res["wasserstein_distance_mean"] >= 0
+    # Same distribution: few significant KS tests, small MMD.
+    assert res["ks_test_fraction_significant"] < 0.3
+    assert res["mmd"] < 0.5
+
+
+def test_statistical_tests_detect_shift(validator, rng):
+    real = rng.normal(size=(100, 50)).astype(np.float32)
+    shifted = rng.normal(loc=3.0, size=(100, 50)).astype(np.float32)
+    res = validator.statistical_tests(real, shifted)
+    assert res["ks_test_fraction_significant"] > 0.9
+    assert res["mmd"] > 0.1
+
+
+def make_structured_mutations(rng, n, genes):
+    """Mutations with shared co-occurrence structure: pairs of genes
+    driven by common latent factors (so chi-square patterns correlate
+    between independently drawn cohorts)."""
+    factors = rng.random((n, len(genes) // 2)) < 0.4
+    cols = []
+    for k in range(len(genes)):
+        f = factors[:, k // 2]
+        flips = rng.random(n) < 0.15
+        cols.append(np.logical_xor(f, flips).astype(float))
+    return pd.DataFrame(np.stack(cols, axis=1), columns=genes)
+
+
+def test_overall_score_aggregation(validator, rng):
+    genes = ["TP53", "MDM2", "RB1", "A", "B", "C", "D", "E"]
+    real_mut = make_structured_mutations(rng, 200, genes)
+    synth_mut = make_structured_mutations(rng, 200, genes)
+    expr_cols = [f"G{i}" for i in range(20)]
+    real_expr = pd.DataFrame(rng.normal(size=(200, 20)), columns=expr_cols)
+    synth_expr = pd.DataFrame(rng.normal(size=(200, 20)), columns=expr_cols)
+    path_cols = ["HALLMARK_P53_PATHWAY", "HALLMARK_MYC_TARGETS_V1", "P3"]
+    real_path = pd.DataFrame(rng.normal(size=(200, 3)), columns=path_cols)
+    synth_path = pd.DataFrame(rng.normal(size=(200, 3)), columns=path_cols)
+
+    res = validator.validate_all(
+        real_mut, real_expr, real_path, synth_mut, synth_expr, synth_path
+    )
+    assert "overall_biological_score" in res
+    # Overall = mean of the 4 normalized components
+    # (reference validation.py:368-385).
+    expected = np.mean([
+        res["mutation_frequency_correlation"],
+        res["cooccurrence_pattern_correlation"],
+        1 - res["mutual_exclusivity_violation_rate"],
+        1 - res["mutation_expression_violation_rate"],
+    ])
+    np.testing.assert_allclose(res["overall_biological_score"], expected,
+                               rtol=1e-6)
+    # Shared latent-factor structure must be detected in co-occurrence.
+    assert res["cooccurrence_pattern_correlation"] > 0.5
+
+
+def test_chi2_sampling_is_seeded(rng):
+    cfg = Config()
+    genes = [f"G{i}" for i in range(60)]
+    real = pd.DataFrame(rng.integers(0, 2, (100, 60)).astype(float),
+                        columns=genes)
+    synth = pd.DataFrame(rng.integers(0, 2, (100, 60)).astype(float),
+                         columns=genes)
+    r1 = BiologicalValidator(cfg, seed=3).validate_mutation_cooccurrence(real, synth)
+    r2 = BiologicalValidator(cfg, seed=3).validate_mutation_cooccurrence(real, synth)
+    assert (r1["cooccurrence_pattern_correlation"]
+            == r2["cooccurrence_pattern_correlation"])
