@@ -108,6 +108,11 @@ class ModelConfig:
     # TPU-specific: computation dtype for the denoiser matmuls. Params
     # stay float32; bfloat16 compute maps onto the MXU natively.
     compute_dtype: str = "bfloat16"
+    # Classifier-free guidance: probability of dropping (zeroing) the
+    # condition vector per training sample. When > 0 the sampler honors
+    # `generation.guidance_scale` (the reference declares guidance_scale
+    # but never consumes it, reference config.yaml:120 / generate.py:101).
+    cfg_dropout_prob: float = 0.0
 
 
 @dataclass

@@ -120,11 +120,20 @@ class SyntheticPatientGenerator:
 
         if self.is_vae:
             return self.model.sample(params, self.batch_stats, conditions, rng)
+        # Honor guidance_scale only when the model was trained with
+        # condition dropout (otherwise CFG is meaningless; the reference
+        # declares the knob but never consumes it).
+        guidance = (
+            gen.guidance_scale if self.model.cfg_dropout_prob > 0 else 1.0
+        )
         if gen.sampler == "ddim":
             return self.model.sample_ddim(
-                params, conditions, rng, num_sampling_steps=gen.sampling_steps
+                params, conditions, rng,
+                num_sampling_steps=gen.sampling_steps,
+                guidance_scale=guidance,
             )
-        return self.model.sample(params, conditions, rng)
+        return self.model.sample(params, conditions, rng,
+                                 guidance_scale=guidance)
 
     def generate(
         self,

@@ -80,6 +80,9 @@ class ConditionalDiffusion:
     # hardware generator (see derive_step_keys), "threefry" is the
     # standard JAX PRNG for bit-exact reproducibility needs.
     sampler_rng_impl: str = "rbg"
+    # Classifier-free guidance training: per-sample condition dropout
+    # probability. 0 disables CFG (reference-equivalent behavior).
+    cfg_dropout_prob: float = 0.0
 
     # ------------------------------------------------------------------
     # Construction
@@ -118,6 +121,7 @@ class ConditionalDiffusion:
                 mc.constraints.gene_network_weight if use_constraints else 0.0
             ),
             sampler_rng_impl=config.generation.rng_impl,
+            cfg_dropout_prob=mc.cfg_dropout_prob,
         )
 
     def init_params(self, rng: jax.Array, condition_dim: int):
@@ -154,11 +158,20 @@ class ConditionalDiffusion:
         t ~ U[0, T), q_sample, predict noise, elementwise loss.
         """
         batch = x0.shape[0]
-        t_rng, noise_rng, drop_rng = jax.random.split(rng, 3)
+        t_rng, noise_rng, drop_rng, cfg_rng = jax.random.split(rng, 4)
         t = jax.random.randint(t_rng, (batch,), 0, self.schedule.num_steps)
         noise = jax.random.normal(noise_rng, x0.shape, jnp.float32)
         x_t = self.q_sample(x0, t, noise)
         t_norm = t.astype(jnp.float32) / self.schedule.num_steps
+
+        if self.cfg_dropout_prob > 0:
+            # Classifier-free guidance training: zero the condition
+            # vector for a random subset so the model also learns the
+            # unconditional score.
+            keep = (
+                jax.random.uniform(cfg_rng, (batch, 1)) >= self.cfg_dropout_prob
+            ).astype(conditions.dtype)
+            conditions = conditions * keep
 
         noise_pred = self.denoiser.apply(
             {"params": params},
@@ -193,18 +206,57 @@ class ConditionalDiffusion:
     # ------------------------------------------------------------------
     # Sampling (ancestral DDPM, scan-compiled)
     # ------------------------------------------------------------------
+    def _denoise_fn(self, params, conditions: jnp.ndarray, guidance_scale: float):
+        """Build the per-step noise predictor, with the loop-invariant
+        condition projection hoisted out of the scan; classifier-free
+        guidance batches the conditional and unconditional passes into
+        one doubled-batch denoiser call."""
+        c_proj = self.denoiser.apply(
+            {"params": params}, conditions, method=DiffusionDenoiser.embed_conditions
+        )
+        if guidance_scale == 1.0:
+            def denoise(x, t_vec):
+                return self.denoiser.apply(
+                    {"params": params}, x, t_vec, c_proj=c_proj,
+                    deterministic=True,
+                )
+            return denoise
+
+        null_proj = self.denoiser.apply(
+            {"params": params},
+            jnp.zeros_like(conditions),
+            method=DiffusionDenoiser.embed_conditions,
+        )
+        both_proj = jnp.concatenate([c_proj, null_proj], axis=0)
+
+        def denoise_cfg(x, t_vec):
+            eps2 = self.denoiser.apply(
+                {"params": params},
+                jnp.concatenate([x, x], axis=0),
+                jnp.concatenate([t_vec, t_vec], axis=0),
+                c_proj=both_proj,
+                deterministic=True,
+            )
+            eps_cond, eps_uncond = jnp.split(eps2, 2, axis=0)
+            return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+        return denoise_cfg
+
     def sample(
         self,
         params,
         conditions: jnp.ndarray,
         rng: jax.Array,
         num_samples: Optional[int] = None,
+        guidance_scale: float = 1.0,
     ) -> jnp.ndarray:
         """Full T-step ancestral reverse loop as one `lax.scan`.
 
         Per-step algebra matches reference p_sample (diffusion.py:383-425):
         x0_pred from predicted noise, posterior mean/variance, and the
         t == 0 branch (return x0_pred, no noise) handled by masking.
+        `guidance_scale` != 1 applies classifier-free guidance (train
+        with `cfg_dropout_prob` > 0 for it to be meaningful).
         """
         if num_samples is None:
             num_samples = conditions.shape[0]
@@ -215,11 +267,7 @@ class ConditionalDiffusion:
         x_t = jax.random.normal(
             init_rng, (num_samples, self.denoiser.data_dim), jnp.float32
         )
-
-        # Hoist the loop-invariant condition projection out of the scan.
-        c_proj = self.denoiser.apply(
-            {"params": params}, conditions, method=DiffusionDenoiser.embed_conditions
-        )
+        denoise = self._denoise_fn(params, conditions, guidance_scale)
 
         # Stack per-step coefficients in reverse-time order so the scan
         # consumes rows instead of gathering dynamically.
@@ -237,9 +285,7 @@ class ConditionalDiffusion:
 
         def body(x, coeffs):
             t_vec = jnp.full((num_samples,), coeffs["t_norm"], jnp.float32)
-            eps = self.denoiser.apply(
-                {"params": params}, x, t_vec, c_proj=c_proj, deterministic=True
-            )
+            eps = denoise(x, t_vec)
             x0_pred = (x - coeffs["sqrt_om_acp"] * eps) * coeffs["inv_sqrt_acp"]
             mean = coeffs["coef_x0"] * x0_pred + coeffs["coef_xt"] * x
             z = jax.random.normal(coeffs["step_key"], x.shape, jnp.float32)
@@ -262,6 +308,7 @@ class ConditionalDiffusion:
         num_sampling_steps: int = 50,
         eta: float = 0.0,
         num_samples: Optional[int] = None,
+        guidance_scale: float = 1.0,
     ) -> jnp.ndarray:
         """DDIM reverse process over `num_sampling_steps` strided steps."""
         if num_samples is None:
@@ -282,9 +329,7 @@ class ConditionalDiffusion:
         x_t = jax.random.normal(
             init_rng, (num_samples, self.denoiser.data_dim), jnp.float32
         )
-        c_proj = self.denoiser.apply(
-            {"params": params}, conditions, method=DiffusionDenoiser.embed_conditions
-        )
+        denoise = self._denoise_fn(params, conditions, guidance_scale)
 
         n_steps = len(ts_np)
         step_coeffs = {
@@ -304,9 +349,7 @@ class ConditionalDiffusion:
 
         def body(x, coeffs):
             t_vec = jnp.full((num_samples,), coeffs["t_norm"], jnp.float32)
-            eps = self.denoiser.apply(
-                {"params": params}, x, t_vec, c_proj=c_proj, deterministic=True
-            )
+            eps = denoise(x, t_vec)
             x0_pred = (x - coeffs["sqrt_om_acp_t"] * eps) / coeffs["sqrt_acp_t"]
             z = jax.random.normal(coeffs["step_key"], x.shape, jnp.float32)
             x_prev = (
