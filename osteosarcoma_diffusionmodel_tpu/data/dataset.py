@@ -216,13 +216,20 @@ def make_dummy_data(
     n_pathways: int = 30,
     seed: int = 0,
     use_hallmark_names: bool = True,
+    structured: bool = True,
 ) -> None:
     """Write the QUICKSTART-style dummy fixture (QUICKSTART.md:206-248)
     as first-class library code, used by tests and quick pipelines.
 
     With `use_hallmark_names` the expression columns include real
     pathway member genes so pathway scoring and validation rules are
-    exercised end to end.
+    exercised end to end. With `structured` (default), the cohort has
+    learnable biology rather than uniform noise: per-gene mutation
+    frequencies vary, latent factors induce mutation co-occurrence,
+    TP53/MDM2 are near-exclusive, and TP53/MYC drive their configured
+    pathways in the expected directions — so a trained generator can
+    actually score on the validation suite. `structured=False` gives
+    the reference QUICKSTART's uniform-random tables.
     """
     rng = np.random.default_rng(seed)
     processed = Path(processed_dir)
@@ -233,11 +240,29 @@ def make_dummy_data(
     drivers = ["TP53", "RB1", "ATRX", "DLG2", "PTEN", "MDM2", "MYC"]
     mut_genes = drivers + [f"MUT{i}" for i in range(n_mutation_genes - len(drivers))]
     mut_genes = mut_genes[:n_mutation_genes]
-    mut = pd.DataFrame(
-        rng.integers(0, 2, size=(n_samples, len(mut_genes))).astype(np.float32),
-        index=ids,
-        columns=mut_genes,
-    )
+
+    if structured:
+        freqs = rng.beta(1.2, 3.0, size=len(mut_genes)).clip(0.05, 0.9)
+        # Latent factors induce co-occurrence among gene groups.
+        n_factors = max(2, len(mut_genes) // 8)
+        factor_load = rng.random((len(mut_genes), n_factors)) < 0.25
+        factors = rng.random((n_samples, n_factors)) < 0.5
+        bump = (factors @ factor_load.T).astype(bool)
+        base = rng.random((n_samples, len(mut_genes))) < freqs[None, :]
+        mut_values = (base | (bump & (rng.random((n_samples, len(mut_genes))) < 0.5)))
+        mut_values = mut_values.astype(np.float32)
+        gi = {g: k for k, g in enumerate(mut_genes)}
+        # TP53 common driver; MDM2 rare and near-exclusive with TP53.
+        mut_values[:, gi["TP53"]] = (rng.random(n_samples) < 0.6).astype(np.float32)
+        mdm2 = (rng.random(n_samples) < 0.15) & (mut_values[:, gi["TP53"]] < 0.5)
+        mut_values[:, gi["MDM2"]] = mdm2.astype(np.float32)
+        mut_values[:, gi["MYC"]] = (rng.random(n_samples) < 0.35).astype(np.float32)
+    else:
+        mut_values = rng.integers(
+            0, 2, size=(n_samples, len(mut_genes))
+        ).astype(np.float32)
+
+    mut = pd.DataFrame(mut_values, index=ids, columns=mut_genes)
     mut.to_csv(processed / "mutation_matrix_aligned.csv")
 
     if use_hallmark_names:
@@ -257,11 +282,29 @@ def make_dummy_data(
     else:
         expr_genes = [f"EXPR{i}" for i in range(n_expression_genes)]
 
-    expr = pd.DataFrame(
-        rng.normal(size=(n_samples, n_expression_genes)).astype(np.float32),
-        index=ids,
-        columns=expr_genes,
+    expr_values = rng.normal(size=(n_samples, n_expression_genes)).astype(
+        np.float32
     )
+    if structured and use_hallmark_names:
+        # Within-pathway co-expression: genes sharing a hallmark set get
+        # a common per-sample factor; driver mutations shift their
+        # pathway's member genes in the configured direction
+        # (TP53 -> p53 pathway DOWN, MYC -> MYC targets UP).
+        from .pathways import HALLMARK_GENE_SETS
+
+        col_index = {g: k for k, g in enumerate(expr_genes)}
+        gi = {g: k for k, g in enumerate(mut_genes)}
+        for pathway, genes in HALLMARK_GENE_SETS.items():
+            member_cols = [col_index[g] for g in genes if g in col_index]
+            if not member_cols:
+                continue
+            factor = rng.normal(size=(n_samples, 1)).astype(np.float32)
+            expr_values[:, member_cols] += 0.8 * factor
+            if pathway == "HALLMARK_P53_PATHWAY" and "TP53" in gi:
+                expr_values[:, member_cols] -= 1.2 * mut_values[:, [gi["TP53"]]]
+            if pathway == "HALLMARK_MYC_TARGETS_V1" and "MYC" in gi:
+                expr_values[:, member_cols] += 1.2 * mut_values[:, [gi["MYC"]]]
+    expr = pd.DataFrame(expr_values, index=ids, columns=expr_genes)
     expr.to_csv(processed / "expression_matrix_aligned.csv")
 
     path_names = [f"PATHWAY_{i}" for i in range(n_pathways)]
@@ -270,11 +313,17 @@ def make_dummy_data(
 
         hallmark_names = list(HALLMARK_GENE_SETS.keys())
         path_names = (hallmark_names + path_names)[:n_pathways]
-    path = pd.DataFrame(
-        rng.normal(size=(n_samples, n_pathways)).astype(np.float32),
-        index=ids,
-        columns=path_names,
-    )
+    path_values = rng.normal(size=(n_samples, n_pathways)).astype(np.float32)
+    if structured and use_hallmark_names:
+        # Pathway scores consistent with the planted expression effects.
+        from .pathways import PathwayFeatures
+
+        eng = PathwayFeatures()
+        derived = eng.compute_pathway_scores_from_expression(expr)
+        for j, name in enumerate(path_names):
+            if name in derived.columns:
+                path_values[:, j] = derived[name].values.astype(np.float32)
+    path = pd.DataFrame(path_values, index=ids, columns=path_names)
     path.to_csv(processed / "pathway_scores.csv")
 
     clin = pd.DataFrame(

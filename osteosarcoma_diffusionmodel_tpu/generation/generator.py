@@ -58,7 +58,9 @@ class SyntheticPatientGenerator:
         self.dims = dims
         self.mesh = mesh
         self.is_vae = isinstance(model, BiologyConstrainedVAE)
-        self._sample_fn = None
+        # jit cache keyed by (sampler kind, guidance, steps): scenarios
+        # share one compiled program instead of re-tracing per call.
+        self._sample_fns = {}
 
     # ------------------------------------------------------------------
     def create_conditions(
@@ -119,7 +121,14 @@ class SyntheticPatientGenerator:
             params = self.params
 
         if self.is_vae:
-            return self.model.sample(params, self.batch_stats, conditions, rng)
+            key = ("cvae",)
+            if key not in self._sample_fns:
+                self._sample_fns[key] = jax.jit(
+                    lambda p, bs, c, k: self.model.sample(p, bs, c, k)
+                )
+            return self._sample_fns[key](params, self.batch_stats,
+                                         conditions, rng)
+
         # Honor guidance_scale only when the model was trained with
         # condition dropout (otherwise CFG is meaningless; the reference
         # declares the knob but never consumes it).
@@ -127,13 +136,22 @@ class SyntheticPatientGenerator:
             gen.guidance_scale if self.model.cfg_dropout_prob > 0 else 1.0
         )
         if gen.sampler == "ddim":
-            return self.model.sample_ddim(
-                params, conditions, rng,
-                num_sampling_steps=gen.sampling_steps,
-                guidance_scale=guidance,
-            )
-        return self.model.sample(params, conditions, rng,
-                                 guidance_scale=guidance)
+            key = ("ddim", guidance, gen.sampling_steps)
+            if key not in self._sample_fns:
+                steps, g = gen.sampling_steps, guidance
+                self._sample_fns[key] = jax.jit(
+                    lambda p, c, k: self.model.sample_ddim(
+                        p, c, k, num_sampling_steps=steps, guidance_scale=g
+                    )
+                )
+        else:
+            key = ("ddpm", guidance)
+            if key not in self._sample_fns:
+                g = guidance
+                self._sample_fns[key] = jax.jit(
+                    lambda p, c, k: self.model.sample(p, c, k, guidance_scale=g)
+                )
+        return self._sample_fns[key](params, conditions, rng)
 
     def generate(
         self,

@@ -181,6 +181,14 @@ class Trainer:
 
         self._train_step = jax.jit(self._make_train_step(), donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(self._make_eval_step())
+        # Whole-epoch fast path: scan over the batch dimension inside one
+        # jitted program (identical update order; removes per-step
+        # dispatch overhead, which dominates at batch 16 on a tunneled
+        # TPU). Used when no mesh is set (the sharded path keeps
+        # per-step dispatch so batches ride NamedShardings).
+        self._train_epoch_scan = jax.jit(
+            self._make_train_epoch_scan(), donate_argnums=(0, 1, 2)
+        )
 
         if self.mesh is not None:
             self._batch_sharding = batch_sharding(self.mesh)
@@ -232,6 +240,31 @@ class Trainer:
 
         return step
 
+    def _make_train_epoch_scan(self):
+        step = self._make_train_step()
+
+        def epoch(params, opt_state, batch_stats, batch_indices, rng):
+            # batch_indices: (n_batches, batch_size) int32 gather indices.
+            def body(carry, inputs):
+                params, opt_state, batch_stats = carry
+                idx, step_rng = inputs
+                params, opt_state, batch_stats, metrics = step(
+                    params, opt_state, batch_stats,
+                    self._data[idx], self._cond[idx], self._surv[idx],
+                    step_rng,
+                )
+                return (params, opt_state, batch_stats), metrics["loss"]
+
+            keys = jax.vmap(lambda b: jax.random.fold_in(rng, b))(
+                jnp.arange(batch_indices.shape[0])
+            )
+            (params, opt_state, batch_stats), losses = jax.lax.scan(
+                body, (params, opt_state, batch_stats), (batch_indices, keys)
+            )
+            return params, opt_state, batch_stats, jnp.mean(losses)
+
+        return epoch
+
     def _make_eval_step(self):
         def step(params, batch_stats, data, cond, surv, rng):
             loss, (metrics, _) = self._loss_with_aux(
@@ -256,11 +289,22 @@ class Trainer:
         batch_size = min(tc.batch_size, len(perm))
         n_batches = max(len(perm) // batch_size, 1)  # drop_last (train.py:428)
 
+        if self.mesh is None:
+            # Fast path: whole epoch in one jitted scan.
+            batch_indices = jnp.asarray(
+                perm[: n_batches * batch_size].reshape(n_batches, batch_size)
+            )
+            self.params, self.opt_state, self.batch_stats, mean_loss = (
+                self._train_epoch_scan(
+                    self.params, self.opt_state, self.batch_stats,
+                    batch_indices, rng,
+                )
+            )
+            return float(mean_loss)
+
         total = 0.0
         for b in range(n_batches):
             batch_idx = perm[b * batch_size : (b + 1) * batch_size]
-            if len(batch_idx) < batch_size:
-                batch_idx = perm[:batch_size]
             data, cond, surv = self._gather_batch(batch_idx)
             step_rng = jax.random.fold_in(rng, b)
             self.params, self.opt_state, self.batch_stats, metrics = (
