@@ -113,7 +113,7 @@ def _build_constraint_spec(config: Config, arrays) -> ConstraintSpec:
     )
 
 
-def train_model(config: Config, resume: bool = False):
+def train_model(config: Config, resume: bool = False, profile: bool = False):
     _banner("STEP 4: Training model")
     arrays, dims = prepare_arrays(config)
     logger.info(
@@ -125,7 +125,14 @@ def train_model(config: Config, resume: bool = False):
     constraint_spec = _build_constraint_spec(config, arrays)
     model = build_model(config, dims, constraint_spec)
     trainer = Trainer(model, arrays, dims, config)
-    history = trainer.train(resume=resume)
+    if profile:
+        from .utils.profiling import profile_trace
+
+        trace_dir = str(Path(config.output.results_dir) / "profile")
+        with profile_trace(trace_dir):
+            history = trainer.train(resume=resume)
+    else:
+        history = trainer.train(resume=resume)
 
     # Persist the dim-frozen config for the generate step
     # (reference main.py:183-184) and the loss history for analysis.
@@ -155,8 +162,17 @@ def generate_synthetic_patients(config: Config):
     model, params, batch_stats, config, dims = load_trained_model(
         Path(config.training.save_dir), config
     )
+    mesh = None
+    if config.training.num_devices and config.training.num_devices > 1:
+        import jax
+
+        from .parallel.mesh import make_mesh
+
+        if len(jax.devices()) >= config.training.num_devices:
+            mesh = make_mesh(config.training.num_devices)
+            logger.info("Generation mesh: %s", dict(mesh.shape))
     generator = SyntheticPatientGenerator(
-        model, params, config, dims, batch_stats
+        model, params, config, dims, batch_stats, mesh=mesh
     )
 
     scenarios = config.generation.scenarios
@@ -193,19 +209,22 @@ def validate_synthetic_patients(config: Config) -> Dict[str, float]:
     _banner("STEP 6: Validating synthetic patients")
     processed_dir = Path(config.data.processed_dir)
 
-    real_mut = pd.read_csv(processed_dir / "mutation_matrix_aligned.csv", index_col=0)
-    real_expr = pd.read_csv(
-        processed_dir / "expression_matrix_aligned.csv", index_col=0
-    )
-    real_path = pd.read_csv(processed_dir / "pathway_scores.csv", index_col=0)
+    from .utils.io import read_matrix_csv
+
+    real_mut = read_matrix_csv(processed_dir / "mutation_matrix_aligned.csv")
+    real_expr = read_matrix_csv(processed_dir / "expression_matrix_aligned.csv")
+    real_path = read_matrix_csv(processed_dir / "pathway_scores.csv")
 
     output_dir = Path(config.output.synthetic_data_dir)
     muts, exprs, paths = [], [], []
     for scenario in config.generation.scenarios:
         scenario_dir = output_dir / scenario.name
-        muts.append(pd.read_csv(scenario_dir / f"{scenario.name}_mutations.csv"))
-        exprs.append(pd.read_csv(scenario_dir / f"{scenario.name}_expression.csv"))
-        paths.append(pd.read_csv(scenario_dir / f"{scenario.name}_pathways.csv"))
+        muts.append(read_matrix_csv(
+            scenario_dir / f"{scenario.name}_mutations.csv", index_col=None))
+        exprs.append(read_matrix_csv(
+            scenario_dir / f"{scenario.name}_expression.csv", index_col=None))
+        paths.append(read_matrix_csv(
+            scenario_dir / f"{scenario.name}_pathways.csv", index_col=None))
     synth_mut = pd.concat(muts, ignore_index=True)
     synth_expr = pd.concat(exprs, ignore_index=True)
     synth_path = pd.concat(paths, ignore_index=True)
@@ -389,6 +408,8 @@ def main(argv=None):
     )
     parser.add_argument("--resume-training", action="store_true",
                         help="Resume training from the latest checkpoint")
+    parser.add_argument("--profile", action="store_true",
+                        help="Write a jax.profiler trace during training")
     args = parser.parse_args(argv)
 
     config = Config.from_yaml(args.config)
@@ -403,7 +424,8 @@ def main(argv=None):
     try:
         for step in steps:
             if step == "train":
-                train_model(config, resume=args.resume_training)
+                train_model(config, resume=args.resume_training,
+                            profile=args.profile)
             else:
                 STEP_FUNCTIONS[step](config)
         _banner("PIPELINE COMPLETE!")

@@ -237,7 +237,9 @@ class SyntheticPatientGenerator:
         for name, df in tables.items():
             base = output_dir / f"{prefix}_{name}"
             if "csv" in formats:
-                df.to_csv(base.with_suffix(".csv"), index=False)
+                from ..utils.io import write_matrix_csv
+
+                write_matrix_csv(df, base.with_suffix(".csv"), index=False)
             if "pickle" in formats:
                 df.to_pickle(base.with_suffix(".pkl"))
             if "h5" in formats:

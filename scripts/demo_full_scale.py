@@ -45,8 +45,8 @@ def main():
 
     cfg = Config()
     cfg.data.processed_dir = str(workdir / "processed")
-    cfg.training.num_epochs = 200
-    cfg.training.patience = 200
+    cfg.training.num_epochs = int(__import__("os").environ.get("DEMO_EPOCHS", 200))
+    cfg.training.patience = int(__import__("os").environ.get("DEMO_EPOCHS", 200))
     cfg.training.save_dir = str(workdir / "ckpt")
     cfg.generation.num_synthetic_samples = 10002
     cfg.output.results_dir = str(workdir / "results")
