@@ -63,11 +63,28 @@ class CheckpointManager:
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self._checkpointer = ocp.StandardCheckpointer()
 
-    def save(self, name: str, state: Dict[str, Any], overwrite: bool = True):
+    def save(
+        self, name: str, state: Dict[str, Any], overwrite: bool = True,
+        wait: bool = False,
+    ):
+        """Start an (async) checkpoint write.
+
+        Orbax's StandardCheckpointer writes asynchronously; we wait for
+        the *previous* save before starting a new one, so checkpoint I/O
+        overlaps the following training epochs instead of stalling each
+        epoch (the reference blocks on every torch.save).
+        """
+        self._checkpointer.wait_until_finished()
+        # Snapshot to host before the async write: the training loop
+        # donates its state buffers, so the writer must not read device
+        # memory that the next step will invalidate.
+        state = jax.device_get(state)
         path = self.save_dir / name
-        self._checkpointer.save(
-            path, state, force=overwrite
-        )
+        self._checkpointer.save(path, state, force=overwrite)
+        if wait:
+            self._checkpointer.wait_until_finished()
+
+    def wait(self) -> None:
         self._checkpointer.wait_until_finished()
 
     def save_epoch(
@@ -79,6 +96,7 @@ class CheckpointManager:
             logger.info("Saved best model at epoch %d", epoch)
 
     def restore(self, name: str, abstract_state: Optional[Dict[str, Any]] = None):
+        self._checkpointer.wait_until_finished()
         path = self.save_dir / name
         if abstract_state is not None:
             abstract = jax.tree_util.tree_map(

@@ -375,6 +375,8 @@ class Trainer:
             t0 = time.perf_counter()
             train_loss = self.train_epoch(epoch, epoch_rng)
             val_loss = self.validate(jax.random.fold_in(epoch_rng, 999))
+            if val_loss != val_loss:  # no val samples: fall back to train loss
+                val_loss = train_loss
             dt = time.perf_counter() - t0
 
             self.history.train_loss.append(train_loss)
@@ -407,6 +409,7 @@ class Trainer:
                 logger.info("Early stopping at epoch %d", epoch + 1)
                 break
 
+        self.checkpoints.wait()
         elapsed = time.perf_counter() - t_start
         self.history.steps_per_sec = total_steps / max(elapsed, 1e-9)
         logger.info(
