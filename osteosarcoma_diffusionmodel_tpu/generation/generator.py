@@ -129,6 +129,15 @@ class SyntheticPatientGenerator:
             return self._sample_fns[key](params, self.batch_stats,
                                          conditions, rng)
 
+        if not isinstance(self.model, ConditionalDiffusion):
+            # Flow (or any model exposing sample(params, cond, rng)).
+            key = ("plain",)
+            if key not in self._sample_fns:
+                self._sample_fns[key] = jax.jit(
+                    lambda p, c, k: self.model.sample(p, c, k)
+                )
+            return self._sample_fns[key](params, conditions, rng)
+
         # Honor guidance_scale only when the model was trained with
         # condition dropout (otherwise CFG is meaningless; the reference
         # declares the knob but never consumes it).

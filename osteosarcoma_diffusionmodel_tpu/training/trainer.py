@@ -422,10 +422,15 @@ class Trainer:
 def build_model(
     config: Config, dims: FrozenDims, constraint_spec=None
 ):
-    """Architecture dispatch (reference main.py:153-174)."""
+    """Architecture dispatch (reference main.py:153-174; "flow" is named
+    in the reference config vocabulary but unimplemented there)."""
     arch = config.model.architecture
     if arch == "diffusion":
         return ConditionalDiffusion.from_config(config, dims, constraint_spec)
     if arch == "cvae":
         return BiologyConstrainedVAE.from_config(config, dims, constraint_spec)
+    if arch == "flow":
+        from ..models.flow import ConditionalFlow
+
+        return ConditionalFlow.from_config(config, dims, constraint_spec)
     raise ValueError(f"Unknown architecture: {arch}")
