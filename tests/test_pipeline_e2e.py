@@ -7,6 +7,7 @@ import pandas as pd
 import pytest
 
 from osteosarcoma_diffusionmodel_tpu.cli import (
+    analysis_report,
     compute_pathway_features,
     doctor,
     generate_synthetic_patients,
@@ -72,6 +73,12 @@ def test_diffusion_pipeline(pipeline_dirs):
     results = run_full(cfg, pipeline_dirs)
     # Pathway coherence must actually run (fixed vs reference).
     assert "real_pathway_coherence" in results
+    # Report step produces figures + graded summary.
+    cfg.output.figures_dir = str(pipeline_dirs / "results" / "figures")
+    analysis_report(cfg)
+    assert (pipeline_dirs / "results" / "summary_report.txt").exists()
+    figures = list((pipeline_dirs / "results" / "figures").glob("*.png"))
+    assert len(figures) >= 4
 
 
 def test_cvae_pipeline(pipeline_dirs):
