@@ -70,6 +70,17 @@ class DiffusionConfig:
     num_steps: int = 1000
     beta_schedule: str = "cosine"  # linear | cosine | sigmoid
     loss_type: str = "l2"  # l1 | l2 | huber (honored, unlike the reference)
+    # What the denoiser predicts. "x0" (default) predicts the clean
+    # patient vector and derives epsilon analytically — the reference's
+    # "epsilon" parameterization cannot beat the noise floor through the
+    # 5142->256 MLP bottleneck (no input passthrough) and its reverse
+    # chain explodes through the cosine schedule's clipped-beta tail;
+    # "epsilon" reproduces the reference's behavior exactly.
+    parameterization: str = "x0"  # x0 | epsilon
+    # Clamp the predicted x0 during sampling (standard DDPM
+    # clip_denoised); disable for strict reference parity.
+    clip_denoised: bool = True
+    denoised_clip_value: float = 30.0
 
 
 @dataclass

@@ -83,6 +83,14 @@ class ConditionalDiffusion:
     # Classifier-free guidance training: per-sample condition dropout
     # probability. 0 disables CFG (reference-equivalent behavior).
     cfg_dropout_prob: float = 0.0
+    # "x0" predicts the clean vector (epsilon derived analytically);
+    # "epsilon" is the reference's parameterization. See config.py
+    # DiffusionConfig for why x0 is the default at these dims.
+    parameterization: str = "x0"
+    # Clamp predicted x0 during sampling (prevents the reverse chain
+    # from exploding through the clipped-beta schedule tail).
+    clip_denoised: bool = True
+    denoised_clip_value: float = 30.0
 
     # ------------------------------------------------------------------
     # Construction
@@ -122,6 +130,9 @@ class ConditionalDiffusion:
             ),
             sampler_rng_impl=config.generation.rng_impl,
             cfg_dropout_prob=mc.cfg_dropout_prob,
+            parameterization=mc.diffusion.parameterization,
+            clip_denoised=mc.diffusion.clip_denoised,
+            denoised_clip_value=mc.diffusion.denoised_clip_value,
         )
 
     def init_params(self, rng: jax.Array, condition_dim: int):
@@ -173,7 +184,7 @@ class ConditionalDiffusion:
             ).astype(conditions.dtype)
             conditions = conditions * keep
 
-        noise_pred = self.denoiser.apply(
+        pred = self.denoiser.apply(
             {"params": params},
             x_t,
             t_norm,
@@ -182,15 +193,19 @@ class ConditionalDiffusion:
             rngs=None if deterministic else {"dropout": drop_rng},
         )
 
-        mse = jnp.mean(_elementwise_loss(noise_pred, noise, self.loss_type))
+        target = x0 if self.parameterization == "x0" else noise
+        mse = jnp.mean(_elementwise_loss(pred, target, self.loss_type))
         metrics = {"diffusion_loss": mse}
         total = mse
 
         if self.constraint_spec is not None:
-            # Predicted x0 is free given the predicted noise.
-            sqrt_acp = self.schedule.sqrt_alphas_cumprod[t][:, None]
-            sqrt_om = self.schedule.sqrt_one_minus_alphas_cumprod[t][:, None]
-            x0_pred = (x_t - sqrt_om * noise_pred) / sqrt_acp
+            if self.parameterization == "x0":
+                x0_pred = pred
+            else:
+                # Predicted x0 is free given the predicted noise.
+                sqrt_acp = self.schedule.sqrt_alphas_cumprod[t][:, None]
+                sqrt_om = self.schedule.sqrt_one_minus_alphas_cumprod[t][:, None]
+                x0_pred = (x_t - sqrt_om * pred) / sqrt_acp
             terms = constraint_losses(x0_pred, self.constraint_spec)
             metrics.update(terms)
             total = (
@@ -285,8 +300,15 @@ class ConditionalDiffusion:
 
         def body(x, coeffs):
             t_vec = jnp.full((num_samples,), coeffs["t_norm"], jnp.float32)
-            eps = denoise(x, t_vec)
-            x0_pred = (x - coeffs["sqrt_om_acp"] * eps) * coeffs["inv_sqrt_acp"]
+            pred = denoise(x, t_vec)
+            if self.parameterization == "x0":
+                x0_pred = pred
+            else:
+                x0_pred = (x - coeffs["sqrt_om_acp"] * pred) * coeffs["inv_sqrt_acp"]
+            if self.clip_denoised:
+                x0_pred = jnp.clip(
+                    x0_pred, -self.denoised_clip_value, self.denoised_clip_value
+                )
             mean = coeffs["coef_x0"] * x0_pred + coeffs["coef_xt"] * x
             z = jax.random.normal(coeffs["step_key"], x.shape, jnp.float32)
             x_prev = jnp.where(
@@ -349,8 +371,19 @@ class ConditionalDiffusion:
 
         def body(x, coeffs):
             t_vec = jnp.full((num_samples,), coeffs["t_norm"], jnp.float32)
-            eps = denoise(x, t_vec)
-            x0_pred = (x - coeffs["sqrt_om_acp_t"] * eps) / coeffs["sqrt_acp_t"]
+            pred = denoise(x, t_vec)
+            if self.parameterization == "x0":
+                x0_pred = pred
+            else:
+                x0_pred = (x - coeffs["sqrt_om_acp_t"] * pred) / coeffs["sqrt_acp_t"]
+            if self.clip_denoised:
+                x0_pred = jnp.clip(
+                    x0_pred, -self.denoised_clip_value, self.denoised_clip_value
+                )
+            # Epsilon consistent with the (possibly clipped) x0 prediction.
+            eps = (x - coeffs["sqrt_acp_t"] * x0_pred) / jnp.maximum(
+                coeffs["sqrt_om_acp_t"], 1e-8
+            )
             z = jax.random.normal(coeffs["step_key"], x.shape, jnp.float32)
             x_prev = (
                 coeffs["sqrt_acp_prev"] * x0_pred

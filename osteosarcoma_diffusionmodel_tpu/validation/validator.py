@@ -78,8 +78,13 @@ class BiologicalValidator:
         results["mutation_frequency_correlation"] = freq_corr
         logger.info("Mutation frequency correlation: %.3f", freq_corr)
 
-        # 2. Driver-gene frequency difference.
-        drivers = [g for g in self.driver_genes if g in common]
+        # 2. Driver-gene frequency difference (gated by
+        # check_driver_mutations, honored unlike the reference).
+        drivers = (
+            [g for g in self.driver_genes if g in common]
+            if self.config.evaluation.check_driver_mutations
+            else []
+        )
         if drivers:
             idx = [common.get_loc(g) for g in drivers]
             diff = float(
@@ -267,11 +272,15 @@ class BiologicalValidator:
         logger.info("BIOLOGICAL VALIDATION")
         logger.info("=" * 50)
         all_results: Dict[str, float] = {}
+        ev = self.config.evaluation
 
-        all_results.update(
-            self.validate_mutation_cooccurrence(real_mutations, synth_mutations)
-        )
-        if pathway_gene_matrix is not None:
+        # The check_* flags are honored (the reference declares them at
+        # config.yaml:93-96 but always runs everything).
+        if ev.check_mutation_cooccurrence:
+            all_results.update(
+                self.validate_mutation_cooccurrence(real_mutations, synth_mutations)
+            )
+        if ev.check_pathway_coherence and pathway_gene_matrix is not None:
             all_results.update(
                 self.validate_pathway_coherence(
                     real_expression, synth_expression, pathway_gene_matrix
