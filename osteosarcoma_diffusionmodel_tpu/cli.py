@@ -57,7 +57,9 @@ def download_data(config: Config):
     loader = GDCDataLoader(
         project_id=config.data.gdc_project, data_dir=config.data.data_dir
     )
-    results = loader.download_all()
+    results = loader.download_all(
+        include_copy_number=config.data.download.copy_number
+    )
     logger.info("Downloaded data to: %s", results)
     return results
 

@@ -148,6 +148,19 @@ class GDCDataLoader:
         self._download_many(files, rna_dir)
         return rna_dir
 
+    def download_copy_number(self) -> Path:
+        """Gene-level copy number (optional; the reference declares the
+        `download.copy_number` flag but never implements the download)."""
+        logger.info("Querying copy number data...")
+        files = self.query_files(
+            data_category="Copy Number Variation",
+            data_type="Gene Level Copy Number",
+        )
+        logger.info("Found %d copy-number files", len(files))
+        cnv_dir = self.raw_dir / "copy_number"
+        self._download_many(files, cnv_dir)
+        return cnv_dir
+
     def download_clinical(self) -> Path:
         logger.info("Querying clinical data...")
         params = {
@@ -194,12 +207,14 @@ class GDCDataLoader:
         }
 
     # ------------------------------------------------------------------
-    def download_all(self) -> Dict[str, Path]:
+    def download_all(self, include_copy_number: bool = False) -> Dict[str, Path]:
         logger.info("Starting download for project %s", self.project_id)
         results = {
             "mutations": self.download_mutations(),
             "rna_seq": self.download_rna_seq(),
             "clinical": self.download_clinical(),
         }
+        if include_copy_number:
+            results["copy_number"] = self.download_copy_number()
         logger.info("Download complete")
         return results
