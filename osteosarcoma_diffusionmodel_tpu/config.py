@@ -124,6 +124,10 @@ class ModelConfig:
     # `generation.guidance_scale` (the reference declares guidance_scale
     # but never consumes it, reference config.yaml:120 / generate.py:101).
     cfg_dropout_prob: float = 0.0
+    # Learned time-dependent input->output gain skip in the denoiser
+    # (see networks.DiffusionDenoiser.input_skip); false = exact
+    # reference architecture.
+    denoiser_input_skip: bool = True
 
 
 @dataclass

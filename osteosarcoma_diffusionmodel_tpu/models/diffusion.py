@@ -109,6 +109,7 @@ class ConditionalDiffusion:
             hidden_dims=tuple(mc.hidden_dims),
             dropout=mc.gnn.dropout,
             dtype=jnp.dtype(mc.compute_dtype),
+            input_skip=mc.denoiser_input_skip,
         )
         schedule = DiffusionSchedule.create(
             mc.diffusion.beta_schedule, mc.diffusion.num_steps

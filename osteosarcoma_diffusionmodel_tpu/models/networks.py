@@ -89,11 +89,26 @@ class DiffusionDenoiser(nn.Module):
     hidden_dims: Sequence[int] = (256, 512, 256)
     dropout: float = 0.2
     dtype: Dtype = jnp.float32
+    # Learned time-dependent scalar-gain skip from the input to the
+    # output: out += gain(t) * x. The hidden bottleneck (data_dim >>
+    # hidden width) cannot pass per-feature detail through; the optimal
+    # x0 estimator contains a time-dependent linear term in x_t, and
+    # this zero-initialized gain lets the model recover it, fixing the
+    # sample under-dispersion the pure-MLP reference suffers. Disable
+    # for exact reference-architecture parity.
+    input_skip: bool = True
 
     def setup(self):
         hidden = list(self.hidden_dims)
         self.time_embed = TimeEmbedding(self.time_dim)
         self.time_proj = nn.Dense(hidden[0], dtype=self.dtype)
+        if self.input_skip:
+            self.skip_gain = nn.Dense(
+                1,
+                dtype=jnp.float32,
+                kernel_init=nn.initializers.zeros,
+                name="skip_gain",
+            )
         self.condition_embed = ConditionEmbedding(
             self.condition_embed_dim, dtype=self.dtype
         )
@@ -130,7 +145,8 @@ class DiffusionDenoiser(nn.Module):
                 raise ValueError("provide `conditions` or precomputed `c_proj`")
             c_proj = self.embed_conditions(conditions)
 
-        t_emb = self.time_proj(self.time_embed(t))
+        t_sinusoid = self.time_embed(t)
+        t_emb = self.time_proj(t_sinusoid)
 
         h = self.input_proj(x.astype(self.dtype))
         h = h + t_emb + c_proj
@@ -149,8 +165,11 @@ class DiffusionDenoiser(nn.Module):
             h = jnp.concatenate([h, skip], axis=-1)
             h = block(h, deterministic)
 
-        out = self.output_proj(h)
-        return out.astype(jnp.float32)
+        out = self.output_proj(h).astype(jnp.float32)
+        if self.input_skip:
+            gain = self.skip_gain(t_sinusoid)  # (B, 1), zero-init
+            out = out + gain * x.astype(jnp.float32)
+        return out
 
 
 class SurvivalHead(nn.Module):
