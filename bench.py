@@ -41,6 +41,11 @@ def reference_baseline() -> float:
 
 
 def main():
+    from osteosarcoma_diffusionmodel_tpu.utils.profiling import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     config = Config()
     config.model.diffusion.num_steps = NUM_STEPS
     config.model.constraints.enabled = False

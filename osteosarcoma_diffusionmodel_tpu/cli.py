@@ -414,6 +414,9 @@ def main(argv=None):
                         help="Write a jax.profiler trace during training")
     args = parser.parse_args(argv)
 
+    from .utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     config = Config.from_yaml(args.config)
     logger.info("Starting Osteosarcoma Disease Progression Pipeline (TPU)")
     logger.info("Configuration: %s", args.config)

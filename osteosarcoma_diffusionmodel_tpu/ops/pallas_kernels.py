@@ -151,6 +151,94 @@ def mmd_rbf_pallas(
     return jnp.sqrt(jnp.maximum(xx + yy - 2.0 * xy, 0.0))
 
 
+def _posterior_update_block(
+    x_ref, pred_ref, seed_ref, out_ref,
+    *, coef_x0, coef_xt, sqrt_var, add_noise, clip_value, tile_m,
+):
+    """One fused ancestral-step update over a (tile_m, D) block:
+    clip(x0_pred) -> posterior mean -> on-chip Gaussian noise -> x_prev.
+
+    Fuses what XLA otherwise runs as several HBM round trips, and
+    generates the step noise with the TPU core PRNG
+    (pltpu.prng_random_bits) instead of streaming key material.
+    """
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i)
+
+    x = x_ref[:]
+    x0_pred = jnp.clip(pred_ref[:], -clip_value, clip_value)
+    mean = coef_x0 * x0_pred + coef_xt * x
+
+    # Box-Muller from two uniform draws built from hardware random bits.
+    shape = x.shape
+    bits1 = pltpu.prng_random_bits(shape)
+    bits2 = pltpu.prng_random_bits(shape)
+    u1 = (pltpu.bitcast(bits1, jnp.uint32) >> 8).astype(jnp.float32) * (
+        1.0 / (1 << 24)
+    )
+    u2 = (pltpu.bitcast(bits2, jnp.uint32) >> 8).astype(jnp.float32) * (
+        1.0 / (1 << 24)
+    )
+    u1 = jnp.maximum(u1, 1e-12)
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+    out_ref[:] = jnp.where(add_noise > 0, mean + sqrt_var * z, x0_pred)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("coef_x0", "coef_xt", "sqrt_var", "add_noise",
+                     "clip_value", "tile_m", "interpret"),
+)
+def posterior_update(
+    x: jnp.ndarray,
+    x0_pred: jnp.ndarray,
+    seed: jnp.ndarray,
+    coef_x0: float,
+    coef_xt: float,
+    sqrt_var: float,
+    add_noise: float,
+    clip_value: float = 30.0,
+    tile_m: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused DDPM posterior update x_{t-1} = f(x_t, x0_pred, noise).
+
+    Standalone building block (benchmarked in scripts/bench_suite.py);
+    the default sampler keeps the XLA-fused scan, which profiling shows
+    is already within ~2x of the denoiser-only floor.
+    """
+    n, d = x.shape
+    n_pad = _round_up(n, tile_m)
+    d_pad = _round_up(d, 128)
+    x_p = jnp.pad(x.astype(jnp.float32), ((0, n_pad - n), (0, d_pad - d)))
+    pred_p = jnp.pad(
+        x0_pred.astype(jnp.float32), ((0, n_pad - n), (0, d_pad - d))
+    )
+    seed_arr = jnp.asarray([seed], jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _posterior_update_block,
+            coef_x0=coef_x0, coef_xt=coef_xt, sqrt_var=sqrt_var,
+            add_noise=add_noise, clip_value=clip_value, tile_m=tile_m,
+        ),
+        grid=(n_pad // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, d_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, d_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, d_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
+        interpret=interpret,
+    )(x_p, pred_p, seed_arr)
+    return out[:n, :d]
+
+
 def mmd_rbf_auto(x: jnp.ndarray, y: jnp.ndarray, gamma: float | None = None):
     """Pick the Pallas kernel on TPU, plain-XLA jnp elsewhere."""
     from .stats import mmd_rbf

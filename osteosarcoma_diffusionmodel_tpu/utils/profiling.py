@@ -24,6 +24,25 @@ import jax
 logger = logging.getLogger(__name__)
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Enable JAX's persistent compilation cache.
+
+    First compiles of the production-dim training program take minutes
+    on a tunneled TPU; the cache makes subsequent pipeline invocations
+    (train -> generate -> serve, reruns, resume) start instantly.
+    """
+    import os
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "osteosarcoma_jax"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (AttributeError, ValueError):  # pragma: no cover
+        logger.warning("Could not enable the JAX compilation cache")
+
+
 @dataclass
 class StepTimer:
     """Accumulates per-step durations; reports rates."""

@@ -40,6 +40,11 @@ def timeit(fn, *args, n=3):
 
 
 def main():
+    from osteosarcoma_diffusionmodel_tpu.utils.profiling import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     results = {}
     config = Config()
     dims = config.freeze_dims(M, E, P, ["s", "e", "m"])

@@ -28,6 +28,11 @@ from osteosarcoma_diffusionmodel_tpu.data.dataset import make_dummy_data  # noqa
 
 
 def main():
+    from osteosarcoma_diffusionmodel_tpu.utils.profiling import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     import os
     import tempfile
 

@@ -1,0 +1,46 @@
+"""Fused Pallas posterior-update kernel (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from osteosarcoma_diffusionmodel_tpu.ops.pallas_kernels import posterior_update
+
+
+def test_posterior_mean_matches_reference(rng):
+    x = rng.normal(size=(40, 70)).astype(np.float32)
+    pred = rng.normal(size=(40, 70)).astype(np.float32) * 40  # exercises clip
+    c0, c1, sv, clip = 0.3, 0.6, 0.0, 30.0  # sqrt_var=0: deterministic
+    out = np.asarray(posterior_update(
+        jnp.asarray(x), jnp.asarray(pred), 7, c0, c1, sv, add_noise=1.0,
+        clip_value=clip, tile_m=16, interpret=True,
+    ))
+    expected = c0 * np.clip(pred, -clip, clip) + c1 * x
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_final_step_returns_clipped_pred(rng):
+    x = rng.normal(size=(8, 20)).astype(np.float32)
+    pred = rng.normal(size=(8, 20)).astype(np.float32) * 100
+    out = np.asarray(posterior_update(
+        jnp.asarray(x), jnp.asarray(pred), 0, 0.5, 0.5, 1.0, add_noise=0.0,
+        clip_value=30.0, tile_m=8, interpret=True,
+    ))
+    np.testing.assert_allclose(out, np.clip(pred, -30, 30), rtol=1e-6)
+
+
+def test_noise_statistics(rng):
+    x = np.zeros((64, 256), np.float32)
+    pred = np.zeros((64, 256), np.float32)
+    out = np.asarray(posterior_update(
+        jnp.asarray(x), jnp.asarray(pred), 123, 0.0, 0.0, 1.0, add_noise=1.0,
+        tile_m=32, interpret=True,
+    ))
+    # Pure noise: standard normal statistics.
+    assert abs(out.mean()) < 0.05
+    assert abs(out.std() - 1.0) < 0.05
+    # Different seeds give different noise.
+    out2 = np.asarray(posterior_update(
+        jnp.asarray(x), jnp.asarray(pred), 124, 0.0, 0.0, 1.0, add_noise=1.0,
+        tile_m=32, interpret=True,
+    ))
+    assert not np.allclose(out, out2)
