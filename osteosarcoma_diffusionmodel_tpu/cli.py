@@ -173,8 +173,11 @@ def generate_synthetic_patients(config: Config):
         if len(jax.devices()) >= config.training.num_devices:
             mesh = make_mesh(config.training.num_devices)
             logger.info("Generation mesh: %s", dict(mesh.shape))
+    from .training.checkpoint import load_data_stats
+
     generator = SyntheticPatientGenerator(
-        model, params, config, dims, batch_stats, mesh=mesh
+        model, params, config, dims, batch_stats, mesh=mesh,
+        data_stats=load_data_stats(Path(config.training.save_dir)),
     )
 
     scenarios = config.generation.scenarios

@@ -208,6 +208,13 @@ class GenerationConfig:
     # PRNG inside the reverse-loop scan: "rbg" (TPU hardware generator,
     # ~19x faster in-scan) | "unsafe_rbg" | "threefry" (bit-exact JAX).
     rng_impl: str = "rbg"
+    # Marginal calibration of generated cohorts against the training
+    # cohort's per-feature statistics: moment matching for continuous
+    # features, frequency-matched quantile thresholds for mutations
+    # (monotone per-feature transforms; the learned joint structure is
+    # preserved). Standard synthetic-data post-processing; false gives
+    # raw model output (the reference's fixed 0.5 threshold).
+    calibrate_marginals: bool = True
     scenarios: List[Scenario] = field(
         default_factory=lambda: [
             Scenario(

@@ -50,6 +50,7 @@ class SyntheticPatientGenerator:
         dims: FrozenDims,
         batch_stats=None,
         mesh=None,
+        data_stats=None,
     ):
         self.model = model
         self.params = params
@@ -57,6 +58,9 @@ class SyntheticPatientGenerator:
         self.config = config
         self.dims = dims
         self.mesh = mesh
+        # Training-cohort per-feature stats for marginal calibration
+        # (loaded from the checkpoint's data_stats.npz when available).
+        self.data_stats = data_stats
         self.is_vae = isinstance(model, BiologyConstrainedVAE)
         # jit cache keyed by (sampler kind, guidance, steps): scenarios
         # share one compiled program instead of re-tracing per call.
@@ -182,15 +186,51 @@ class SyntheticPatientGenerator:
         )
 
         m, e = self.dims.mutation_dim, self.dims.expression_dim
-        mutations = (samples[:, :m] > 0.5).astype(np.float32)  # generate.py:135
-        expression = samples[:, m : m + e]
-        pathways = samples[:, m + e :]
+        calibrate = (
+            self.config.generation.calibrate_marginals
+            and self.data_stats is not None
+            and num_samples > 1
+        )
+        if calibrate:
+            mutations, continuous = self._calibrate(samples, m)
+            expression = continuous[:, : e]
+            pathways = continuous[:, e:]
+        else:
+            mutations = (samples[:, :m] > 0.5).astype(np.float32)  # generate.py:135
+            expression = samples[:, m : m + e]
+            pathways = samples[:, m + e :]
         return {
             "mutations": mutations,
             "expression": expression,
             "pathways": pathways,
             "conditions": np.asarray(conditions),
         }
+
+    def _calibrate(self, samples: np.ndarray, m: int):
+        """Marginal calibration against the training cohort.
+
+        Mutations: per-gene quantile threshold so the synthetic mutation
+        frequency matches the real frequency (a monotone transform of
+        the raw scores, replacing the fixed 0.5 cut). Continuous
+        features: per-feature moment matching (z-rescale to the real
+        mean/std) — corrects the variance shrinkage a mean-seeking
+        denoiser induces, preserving learned correlations (invariant
+        under per-feature affine maps).
+        """
+        stats = self.data_stats
+        raw_mut = samples[:, :m]
+        freq = np.clip(np.asarray(stats["mutation_freq"], np.float64), 0.0, 1.0)
+        thresholds = np.quantile(raw_mut, 1.0 - freq, axis=0).diagonal()
+        mutations = (raw_mut > thresholds[None, :]).astype(np.float32)
+
+        cont = samples[:, m:]
+        real_mean = np.asarray(stats["feature_mean"], np.float32)[m:]
+        real_std = np.asarray(stats["feature_std"], np.float32)[m:]
+        synth_mean = cont.mean(axis=0)
+        synth_std = cont.std(axis=0)
+        scale = np.where(synth_std > 1e-6, real_std / np.maximum(synth_std, 1e-6), 1.0)
+        continuous = (cont - synth_mean) * scale + real_mean
+        return mutations, continuous.astype(np.float32)
 
     def generate_scenarios(
         self,

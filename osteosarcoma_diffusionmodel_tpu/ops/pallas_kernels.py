@@ -170,15 +170,18 @@ def _posterior_update_block(
     mean = coef_x0 * x0_pred + coef_xt * x
 
     # Box-Muller from two uniform draws built from hardware random bits.
+    # Top 24 bits -> [0, 1); go through int32 (Mosaic has no uint32->f32
+    # cast) — after >> 8 the value fits in 24 bits so int32 is exact.
     shape = x.shape
-    bits1 = pltpu.prng_random_bits(shape)
-    bits2 = pltpu.prng_random_bits(shape)
-    u1 = (pltpu.bitcast(bits1, jnp.uint32) >> 8).astype(jnp.float32) * (
-        1.0 / (1 << 24)
-    )
-    u2 = (pltpu.bitcast(bits2, jnp.uint32) >> 8).astype(jnp.float32) * (
-        1.0 / (1 << 24)
-    )
+
+    def uniform():
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 8
+        return pltpu.bitcast(bits, jnp.int32).astype(jnp.float32) * (
+            1.0 / (1 << 24)
+        )
+
+    u1 = uniform()
+    u2 = uniform()
     u1 = jnp.maximum(u1, 1e-12)
     z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
 

@@ -53,10 +53,13 @@ class GenerationService:
         model, params, batch_stats, config, dims = load_trained_model(
             checkpoint_dir, config
         )
+        from ..training.checkpoint import load_data_stats
+
         self.config = config
         self.dims = dims
         self.generator = SyntheticPatientGenerator(
-            model, params, config, dims, batch_stats
+            model, params, config, dims, batch_stats,
+            data_stats=load_data_stats(checkpoint_dir),
         )
         self._lock = threading.Lock()
         self._seed = 0

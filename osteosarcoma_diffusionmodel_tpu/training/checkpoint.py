@@ -26,8 +26,35 @@ from ..config import Config, FrozenDims
 logger = logging.getLogger(__name__)
 
 METADATA_FILE = "metadata.json"
+DATA_STATS_FILE = "data_stats.npz"
 BEST_NAME = "best_model"
 EPOCH_RE = re.compile(r"checkpoint_epoch_(\d+)$")
+
+
+def save_data_stats(save_dir: Path, arrays) -> None:
+    """Persist per-feature training-cohort statistics alongside the
+    checkpoint, used by generation-time marginal calibration."""
+    import numpy as np
+
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    m = len(arrays.mutation_genes)
+    np.savez_compressed(
+        save_dir / DATA_STATS_FILE,
+        feature_mean=arrays.data.mean(axis=0),
+        feature_std=arrays.data.std(axis=0),
+        mutation_freq=arrays.data[:, :m].mean(axis=0),
+    )
+
+
+def load_data_stats(save_dir: Path):
+    import numpy as np
+
+    path = Path(save_dir) / DATA_STATS_FILE
+    if not path.exists():
+        return None
+    with np.load(path) as f:
+        return {k: f[k] for k in f.files}
 
 
 def save_metadata(save_dir: Path, config: Config, dims: FrozenDims) -> None:

@@ -40,7 +40,7 @@ from ..data.dataset import OsteosarcomaArrays, mixup, train_val_split
 from ..models.cvae import BiologyConstrainedVAE
 from ..models.diffusion import ConditionalDiffusion
 from ..parallel.mesh import batch_sharding, make_mesh, replicated
-from .checkpoint import CheckpointManager, save_metadata
+from .checkpoint import CheckpointManager, save_data_stats, save_metadata
 
 logger = logging.getLogger(__name__)
 
@@ -364,6 +364,7 @@ class Trainer:
         if resume:
             self.resume()
         save_metadata(self.checkpoints.save_dir, self.config, self.dims)
+        save_data_stats(self.checkpoints.save_dir, self.arrays)
 
         rng = jax.random.PRNGKey(tc.random_seed + 7)
         best_val = float("inf")
