@@ -209,12 +209,15 @@ class GenerationConfig:
     # ~19x faster in-scan) | "unsafe_rbg" | "threefry" (bit-exact JAX).
     rng_impl: str = "rbg"
     # Marginal calibration of generated cohorts against the training
-    # cohort's per-feature statistics: moment matching for continuous
-    # features, frequency-matched quantile thresholds for mutations
-    # (monotone per-feature transforms; the learned joint structure is
-    # preserved). Standard synthetic-data post-processing; false gives
-    # raw model output (the reference's fixed 0.5 threshold).
-    calibrate_marginals: bool = True
+    # cohort (monotone per-feature transforms; the learned dependence
+    # structure is preserved — standard copula-style synthetic-data
+    # post-processing). Mutations always use frequency-matched quantile
+    # thresholds; continuous features:
+    #   "quantile" — full empirical quantile mapping (exact marginals)
+    #   "moment"   — per-feature mean/std matching only
+    #   false      — raw model output (the reference's fixed 0.5 cut)
+    # true is accepted as an alias for "quantile".
+    calibrate_marginals: Any = "quantile"
     scenarios: List[Scenario] = field(
         default_factory=lambda: [
             Scenario(

@@ -186,13 +186,12 @@ class SyntheticPatientGenerator:
         )
 
         m, e = self.dims.mutation_dim, self.dims.expression_dim
-        calibrate = (
-            self.config.generation.calibrate_marginals
-            and self.data_stats is not None
-            and num_samples > 1
-        )
+        mode = self.config.generation.calibrate_marginals
+        if mode is True:
+            mode = "quantile"
+        calibrate = bool(mode) and self.data_stats is not None and num_samples > 1
         if calibrate:
-            mutations, continuous = self._calibrate(samples, m)
+            mutations, continuous = self._calibrate(samples, m, str(mode))
             expression = continuous[:, : e]
             pathways = continuous[:, e:]
         else:
@@ -206,16 +205,21 @@ class SyntheticPatientGenerator:
             "conditions": np.asarray(conditions),
         }
 
-    def _calibrate(self, samples: np.ndarray, m: int):
+    def _calibrate(self, samples: np.ndarray, m: int, mode: str):
         """Marginal calibration against the training cohort.
 
         Mutations: per-gene quantile threshold so the synthetic mutation
         frequency matches the real frequency (a monotone transform of
         the raw scores, replacing the fixed 0.5 cut). Continuous
-        features: per-feature moment matching (z-rescale to the real
-        mean/std) — corrects the variance shrinkage a mean-seeking
-        denoiser induces, preserving learned correlations (invariant
-        under per-feature affine maps).
+        features, by mode:
+        - "quantile": full empirical quantile mapping — each synthetic
+          value is replaced by the real quantile at its within-cohort
+          rank (copula-style; marginals match exactly, rank-based
+          dependence preserved)
+        - "moment": per-feature mean/std matching — corrects the
+          variance shrinkage a mean-seeking denoiser induces
+        Both are monotone per-feature maps, so the learned dependence
+        structure is preserved.
         """
         stats = self.data_stats
         raw_mut = samples[:, :m]
@@ -224,12 +228,33 @@ class SyntheticPatientGenerator:
         mutations = (raw_mut > thresholds[None, :]).astype(np.float32)
 
         cont = samples[:, m:]
-        real_mean = np.asarray(stats["feature_mean"], np.float32)[m:]
-        real_std = np.asarray(stats["feature_std"], np.float32)[m:]
-        synth_mean = cont.mean(axis=0)
-        synth_std = cont.std(axis=0)
-        scale = np.where(synth_std > 1e-6, real_std / np.maximum(synth_std, 1e-6), 1.0)
-        continuous = (cont - synth_mean) * scale + real_mean
+        if mode == "quantile" and "feature_sorted" in stats:
+            sorted_real = np.asarray(
+                stats["feature_sorted"], np.float32
+            )[:, m:]  # (n_real, D_cont), per-feature quantile function
+            n_real = sorted_real.shape[0]
+            # Within-cohort ranks -> positions on the real quantile grid.
+            order = np.argsort(cont, axis=0)
+            ranks = np.empty_like(order)
+            rows = np.arange(cont.shape[0])[:, None]
+            np.put_along_axis(ranks, order, rows, axis=0)
+            p = (ranks + 0.5) / cont.shape[0]
+            pos = p * (n_real - 1)
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.minimum(lo + 1, n_real - 1)
+            frac = (pos - lo).astype(np.float32)
+            low_vals = np.take_along_axis(sorted_real, lo, axis=0)
+            high_vals = np.take_along_axis(sorted_real, hi, axis=0)
+            continuous = low_vals * (1.0 - frac) + high_vals * frac
+        else:
+            real_mean = np.asarray(stats["feature_mean"], np.float32)[m:]
+            real_std = np.asarray(stats["feature_std"], np.float32)[m:]
+            synth_mean = cont.mean(axis=0)
+            synth_std = cont.std(axis=0)
+            scale = np.where(
+                synth_std > 1e-6, real_std / np.maximum(synth_std, 1e-6), 1.0
+            )
+            continuous = (cont - synth_mean) * scale + real_mean
         return mutations, continuous.astype(np.float32)
 
     def generate_scenarios(

@@ -44,6 +44,9 @@ def save_data_stats(save_dir: Path, arrays) -> None:
         feature_mean=arrays.data.mean(axis=0),
         feature_std=arrays.data.std(axis=0),
         mutation_freq=arrays.data[:, :m].mean(axis=0),
+        # Sorted per-feature values: the empirical quantile function for
+        # full quantile-mapping calibration.
+        feature_sorted=np.sort(arrays.data, axis=0),
     )
 
 

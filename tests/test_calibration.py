@@ -25,14 +25,19 @@ def generator_with_stats(rng):
     )
     model = ConditionalDiffusion.from_config(cfg, dims)
     params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    real = np.concatenate(
+        [
+            (rng.random((100, 5)) < [0.1, 0.3, 0.5, 0.7, 0.9]).astype(np.float32),
+            rng.normal(5.0, 2.0, (100, 12)).astype(np.float32),
+            rng.normal(-1.0, 0.5, (100, 3)).astype(np.float32),
+        ],
+        axis=1,
+    )
     stats = {
-        "feature_mean": np.concatenate(
-            [np.full(5, 0.3), np.full(12, 5.0), np.full(3, -1.0)]
-        ).astype(np.float32),
-        "feature_std": np.concatenate(
-            [np.full(5, 0.46), np.full(12, 2.0), np.full(3, 0.5)]
-        ).astype(np.float32),
+        "feature_mean": real.mean(axis=0),
+        "feature_std": real.std(axis=0),
         "mutation_freq": np.array([0.1, 0.3, 0.5, 0.7, 0.9], np.float32),
+        "feature_sorted": np.sort(real, axis=0),
     }
     return SyntheticPatientGenerator(
         model, params, cfg, dims, data_stats=stats
@@ -48,31 +53,79 @@ def test_calibrated_mutation_frequencies(generator_with_stats):
     )
 
 
-def test_calibrated_continuous_moments(generator_with_stats):
+def test_quantile_mode_matches_real_marginals(generator_with_stats):
+    from scipy import stats as sps
+
     gen = generator_with_stats
     out = gen.generate(400, {"survival_time": 800}, rng=jax.random.PRNGKey(1))
-    np.testing.assert_allclose(out["expression"].mean(axis=0), 5.0, atol=0.05)
-    np.testing.assert_allclose(out["expression"].std(axis=0), 2.0, atol=0.05)
-    np.testing.assert_allclose(out["pathways"].mean(axis=0), -1.0, atol=0.05)
+    real_expr = gen.data_stats["feature_sorted"][:, 5:17]
+    # Exact-marginal mapping: per-feature KS vs the real sample is tiny.
+    for j in range(0, 12, 4):
+        stat, _ = sps.ks_2samp(out["expression"][:, j], real_expr[:, j])
+        assert stat < 0.1
+    np.testing.assert_allclose(out["expression"].mean(axis=0),
+                               real_expr.mean(axis=0), atol=0.25)
+
+
+def test_moment_mode_matches_moments(generator_with_stats):
+    gen = generator_with_stats
+    gen.config.generation.calibrate_marginals = "moment"
+    try:
+        out = gen.generate(400, {"survival_time": 800},
+                           rng=jax.random.PRNGKey(1))
+        np.testing.assert_allclose(
+            out["expression"].mean(axis=0),
+            gen.data_stats["feature_mean"][5:17], atol=0.1,
+        )
+        np.testing.assert_allclose(
+            out["expression"].std(axis=0),
+            gen.data_stats["feature_std"][5:17], atol=0.1,
+        )
+    finally:
+        gen.config.generation.calibrate_marginals = "quantile"
 
 
 def test_calibration_disabled(generator_with_stats):
     gen = generator_with_stats
     gen.config.generation.calibrate_marginals = False
-    out = gen.generate(100, {"survival_time": 800}, rng=jax.random.PRNGKey(1))
-    # Raw model output: untrained model samples are ~N-ish around 0, so
-    # expression mean is nowhere near the calibrated 5.0.
-    assert abs(out["expression"].mean() - 5.0) > 1.0
+    try:
+        out = gen.generate(100, {"survival_time": 800},
+                           rng=jax.random.PRNGKey(1))
+        # Raw model output: untrained model samples are ~N-ish around 0,
+        # so expression mean is nowhere near the calibrated ~5.0.
+        assert abs(out["expression"].mean() - 5.0) > 1.0
+    finally:
+        gen.config.generation.calibrate_marginals = "quantile"
 
 
-def test_calibration_preserves_correlations(generator_with_stats):
+def test_moment_calibration_preserves_correlations(generator_with_stats):
     gen = generator_with_stats
-    out_raw_cfg = gen.config.generation
+    cfg = gen.config.generation
+    cfg.calibrate_marginals = "moment"
     out = gen.generate(300, {"survival_time": 800}, rng=jax.random.PRNGKey(2))
-    out_raw_cfg.calibrate_marginals = False
+    cfg.calibrate_marginals = False
     raw = gen.generate(300, {"survival_time": 800}, rng=jax.random.PRNGKey(2))
-    out_raw_cfg.calibrate_marginals = True
+    cfg.calibrate_marginals = "quantile"
     # Affine per-feature maps preserve Pearson correlations.
     ce = np.corrcoef(out["expression"].T)
     cr = np.corrcoef(raw["expression"].T)
     np.testing.assert_allclose(ce, cr, atol=1e-3)
+
+
+def test_quantile_calibration_preserves_rank_correlations(generator_with_stats):
+    from scipy import stats as sps
+
+    gen = generator_with_stats
+    cfg = gen.config.generation
+    cfg.calibrate_marginals = "quantile"
+    out = gen.generate(300, {"survival_time": 800}, rng=jax.random.PRNGKey(2))
+    cfg.calibrate_marginals = False
+    raw = gen.generate(300, {"survival_time": 800}, rng=jax.random.PRNGKey(2))
+    cfg.calibrate_marginals = "quantile"
+    # Monotone maps preserve Spearman (rank) correlation.
+    for i, j in [(0, 1), (2, 5), (7, 11)]:
+        rho_cal = sps.spearmanr(out["expression"][:, i],
+                                out["expression"][:, j]).statistic
+        rho_raw = sps.spearmanr(raw["expression"][:, i],
+                                raw["expression"][:, j]).statistic
+        np.testing.assert_allclose(rho_cal, rho_raw, atol=0.05)
