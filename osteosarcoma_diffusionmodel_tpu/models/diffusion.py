@@ -87,6 +87,10 @@ class ConditionalDiffusion:
     # "epsilon" is the reference's parameterization. See config.py
     # DiffusionConfig for why x0 is the default at these dims.
     parameterization: str = "x0"
+    # Optional (D,) per-feature loss weights (sum-preserving); None =
+    # unweighted mean, matching the reference. Built from the block
+    # dims by from_config when block_loss_weighting == "balanced".
+    feature_loss_weights: Optional[np.ndarray] = None
     # Clamp predicted x0 during sampling (prevents the reverse chain
     # from exploding through the clipped-beta schedule tail).
     clip_denoised: bool = True
@@ -114,6 +118,17 @@ class ConditionalDiffusion:
         schedule = DiffusionSchedule.create(
             mc.diffusion.beta_schedule, mc.diffusion.num_steps
         )
+        feature_weights = None
+        if mc.diffusion.block_loss_weighting == "balanced":
+            blocks = [dims.mutation_dim, dims.expression_dim, dims.pathway_dim]
+            weights = []
+            for b in blocks:
+                if b > 0:
+                    weights.append(
+                        np.full(b, dims.data_dim / (len(blocks) * b), np.float32)
+                    )
+            feature_weights = np.concatenate(weights)
+
         use_constraints = mc.constraints.enabled and constraint_spec is not None
         return ConditionalDiffusion(
             denoiser=denoiser,
@@ -132,6 +147,7 @@ class ConditionalDiffusion:
             sampler_rng_impl=config.generation.rng_impl,
             cfg_dropout_prob=mc.cfg_dropout_prob,
             parameterization=mc.diffusion.parameterization,
+            feature_loss_weights=feature_weights,
             clip_denoised=mc.diffusion.clip_denoised,
             denoised_clip_value=mc.diffusion.denoised_clip_value,
         )
@@ -195,7 +211,10 @@ class ConditionalDiffusion:
         )
 
         target = x0 if self.parameterization == "x0" else noise
-        mse = jnp.mean(_elementwise_loss(pred, target, self.loss_type))
+        err = _elementwise_loss(pred, target, self.loss_type)
+        if self.feature_loss_weights is not None:
+            err = err * jnp.asarray(self.feature_loss_weights)[None, :]
+        mse = jnp.mean(err)
         metrics = {"diffusion_loss": mse}
         total = mse
 
