@@ -81,12 +81,11 @@ class DiffusionConfig:
     # clip_denoised); disable for strict reference parity.
     clip_denoised: bool = True
     denoised_clip_value: float = 30.0
-    # Per-block loss weighting. The mutation block is 62 of 5142 dims
-    # (~1.2% of an unweighted MSE), so mutation co-occurrence structure
-    # is barely trained; "balanced" weights each block [mutations |
-    # expression | pathways] equally (weights sum-preserve the loss
-    # scale). "none" is the reference's unweighted mean.
-    block_loss_weighting: str = "balanced"  # balanced | none
+    # Per-block loss weighting: "balanced" weights the [mutations |
+    # expression | pathways] blocks equally (sum-preserving); "none"
+    # (default) is the reference's unweighted mean — measured to give
+    # equal-or-better co-occurrence fidelity at these dims.
+    block_loss_weighting: str = "none"  # balanced | none
 
 
 @dataclass
