@@ -102,7 +102,7 @@ class ConstraintConfig:
 
 @dataclass
 class ModelConfig:
-    architecture: str = "diffusion"  # diffusion | cvae
+    architecture: str = "diffusion"  # diffusion | cvae | flow
     n_genes: Optional[int] = None
     n_genes_mutation: Optional[int] = None
     n_genes_expression: Optional[int] = None
