@@ -39,6 +39,10 @@ from .validation.validator import BiologicalValidator
 logging.basicConfig(
     level=logging.INFO,
     format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    # Plugins (e.g. the TPU runtime) may pre-configure root handlers at
+    # interpreter start, which would turn basicConfig into a no-op and
+    # swallow all pipeline INFO logs.
+    force=True,
 )
 logger = logging.getLogger(__name__)
 
