@@ -116,6 +116,7 @@ def _build_constraint_spec(config: Config, arrays) -> ConstraintSpec:
         gene_sets=gene_sets,
         exclusive_gene_pairs=config.evaluation.mutually_exclusive_pairs,
         correlation_rules=config.evaluation.required_correlations,
+        mutation_data=arrays.data[:, : len(arrays.mutation_genes)],
     )
 
 

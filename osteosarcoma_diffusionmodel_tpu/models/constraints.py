@@ -59,6 +59,11 @@ class ConstraintSpec:
         default_factory=lambda: np.zeros((0,), np.int32)
     )
     rule_sign: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    # (M, M) target mutation correlation matrix from the training cohort
+    # (empty disables the co-occurrence matching loss).
+    mutation_corr_target: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 0), np.float32)
+    )
 
     @staticmethod
     def build(
@@ -69,8 +74,13 @@ class ConstraintSpec:
         exclusive_gene_pairs: Optional[List[List[str]]] = None,
         correlation_rules: Optional[List] = None,
         min_genes_per_pathway: int = 3,
+        mutation_data: Optional[np.ndarray] = None,
     ) -> "ConstraintSpec":
-        """Resolve gene/pathway names into static index arrays."""
+        """Resolve gene/pathway names into static index arrays.
+
+        When `mutation_data` (N, M) is given, its correlation matrix
+        becomes the co-occurrence matching target.
+        """
         mut_index = {g: i for i, g in enumerate(mutation_genes)}
         expr_index = {g: i for i, g in enumerate(expression_genes)}
         path_index = {p: i for i, p in enumerate(pathway_names)}
@@ -110,6 +120,17 @@ class ConstraintSpec:
                 r_path.append(path_index[pathway])
                 r_sign.append(1.0 if direction == "positive" else -1.0)
 
+        if mutation_data is not None and mutation_data.shape[0] > 2:
+            std = mutation_data.std(axis=0)
+            safe = np.where(std > 1e-6, std, 1.0)
+            z = (mutation_data - mutation_data.mean(axis=0)) / safe
+            corr = (z.T @ z / mutation_data.shape[0]).astype(np.float32)
+            corr[std <= 1e-6, :] = 0.0
+            corr[:, std <= 1e-6] = 0.0
+            mutation_corr_target = corr
+        else:
+            mutation_corr_target = np.zeros((0, 0), np.float32)
+
         return ConstraintSpec(
             mutation_dim=len(mutation_genes),
             expression_dim=len(expression_genes),
@@ -119,6 +140,7 @@ class ConstraintSpec:
             rule_mutation_idx=np.asarray(r_mut, np.int32),
             rule_pathway_idx=np.asarray(r_path, np.int32),
             rule_sign=np.asarray(r_sign, np.float32),
+            mutation_corr_target=mutation_corr_target,
         )
 
     def split(self, x: jnp.ndarray):
@@ -187,6 +209,25 @@ def mutual_exclusivity_loss(
     return jnp.mean(p[:, pairs[:, 0]] * p[:, pairs[:, 1]])
 
 
+def cooccurrence_matching_loss(
+    mutations: jnp.ndarray, corr_target: jnp.ndarray
+) -> jnp.ndarray:
+    """Frobenius MSE between the batch mutation correlation matrix and
+    the training cohort's (off-diagonal entries), pushing generated
+    mutation co-occurrence structure toward the real gene network."""
+    if corr_target.shape[0] == 0:
+        return jnp.float32(0.0)
+    z = _standardize_over_batch(mutations.astype(jnp.float32))
+    corr = jnp.dot(
+        z.T, z, preferred_element_type=jnp.float32
+    ) / mutations.shape[0]
+    target = jnp.asarray(corr_target)
+    m = target.shape[0]
+    off_diag = 1.0 - jnp.eye(m, dtype=jnp.float32)
+    diff = (corr - target) * off_diag
+    return jnp.sum(diff * diff) / jnp.maximum(m * (m - 1.0), 1.0)
+
+
 def constraint_losses(x_recon: jnp.ndarray, spec: ConstraintSpec) -> dict:
     """All constraint terms on a reconstructed/predicted patient batch."""
     mut, expr, path = spec.split(x_recon)
@@ -200,4 +241,7 @@ def constraint_losses(x_recon: jnp.ndarray, spec: ConstraintSpec) -> dict:
             spec.rule_sign,
         ),
         "mutual_exclusivity": mutual_exclusivity_loss(mut, spec.exclusive_pairs),
+        "cooccurrence": cooccurrence_matching_loss(
+            mut, spec.mutation_corr_target
+        ),
     }

@@ -166,6 +166,7 @@ class BiologyConstrainedVAE:
     mutation_expression_weight: float = 0.5
     survival_weight: float = 0.3
     mutual_exclusivity_weight: float = 0.2
+    cooccurrence_weight: float = 1.0
 
     @staticmethod
     def from_config(
@@ -189,6 +190,7 @@ class BiologyConstrainedVAE:
             mutation_expression_weight=mc.constraints.mutation_expression_weight,
             survival_weight=mc.constraints.survival_prediction_weight,
             mutual_exclusivity_weight=mc.constraints.gene_network_weight,
+            cooccurrence_weight=mc.constraints.cooccurrence_weight,
         )
 
     @property
@@ -255,6 +257,7 @@ class BiologyConstrainedVAE:
                 + self.pathway_coherence_weight * terms["pathway_coherence"]
                 + self.mutation_expression_weight * terms["mutation_expression"]
                 + self.mutual_exclusivity_weight * terms["mutual_exclusivity"]
+                + self.cooccurrence_weight * terms["cooccurrence"]
             )
 
         metrics["loss"] = total

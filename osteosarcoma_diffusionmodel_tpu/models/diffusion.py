@@ -76,6 +76,7 @@ class ConditionalDiffusion:
     pathway_coherence_weight: float = 0.0
     mutation_expression_weight: float = 0.0
     mutual_exclusivity_weight: float = 0.0
+    cooccurrence_weight: float = 0.0
     # PRNG used inside the reverse-loop scan; "rbg" rides the TPU
     # hardware generator (see derive_step_keys), "threefry" is the
     # standard JAX PRNG for bit-exact reproducibility needs.
@@ -143,6 +144,9 @@ class ConditionalDiffusion:
             ),
             mutual_exclusivity_weight=(
                 mc.constraints.gene_network_weight if use_constraints else 0.0
+            ),
+            cooccurrence_weight=(
+                mc.constraints.cooccurrence_weight if use_constraints else 0.0
             ),
             sampler_rng_impl=config.generation.rng_impl,
             cfg_dropout_prob=mc.cfg_dropout_prob,
@@ -233,6 +237,7 @@ class ConditionalDiffusion:
                 + self.pathway_coherence_weight * terms["pathway_coherence"]
                 + self.mutation_expression_weight * terms["mutation_expression"]
                 + self.mutual_exclusivity_weight * terms["mutual_exclusivity"]
+                + self.cooccurrence_weight * terms["cooccurrence"]
             )
 
         metrics["loss"] = total

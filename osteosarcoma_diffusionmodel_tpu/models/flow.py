@@ -126,6 +126,7 @@ class ConditionalFlow:
     pathway_coherence_weight: float = 0.0
     mutation_expression_weight: float = 0.0
     mutual_exclusivity_weight: float = 0.0
+    cooccurrence_weight: float = 0.0
 
     @staticmethod
     def from_config(
@@ -153,6 +154,9 @@ class ConditionalFlow:
             ),
             mutual_exclusivity_weight=(
                 mc.constraints.gene_network_weight if use_constraints else 0.0
+            ),
+            cooccurrence_weight=(
+                mc.constraints.cooccurrence_weight if use_constraints else 0.0
             ),
         )
 
@@ -195,6 +199,7 @@ class ConditionalFlow:
                 + self.pathway_coherence_weight * terms["pathway_coherence"]
                 + self.mutation_expression_weight * terms["mutation_expression"]
                 + self.mutual_exclusivity_weight * terms["mutual_exclusivity"]
+                + self.cooccurrence_weight * terms["cooccurrence"]
             )
         metrics["loss"] = total
         return total, metrics

@@ -131,3 +131,38 @@ def test_empty_spec_gives_zero_losses(rng):
     x = rng.normal(size=(8, 10)).astype(np.float32)
     terms = constraint_losses(jnp.asarray(x), spec)
     assert all(float(v) == 0.0 for v in terms.values())
+
+
+def test_cooccurrence_matching_loss(rng):
+    from osteosarcoma_diffusionmodel_tpu.models.constraints import (
+        cooccurrence_matching_loss,
+    )
+
+    # Target: two strongly correlated genes.
+    n = 200
+    f = (rng.random(n) < 0.5).astype(np.float32)
+    data = np.stack([f, f, (rng.random(n) < 0.5).astype(np.float32)], axis=1)
+    std = data.std(0)
+    z = (data - data.mean(0)) / std
+    target = (z.T @ z / n).astype(np.float32)
+
+    # Batch with the same structure: near-zero loss.
+    loss_same = float(cooccurrence_matching_loss(jnp.asarray(data), target))
+    assert loss_same < 0.05
+    # Independent batch: positive loss (target corr 1 unmatched).
+    indep = rng.random((n, 3)).astype(np.float32)
+    loss_diff = float(cooccurrence_matching_loss(jnp.asarray(indep), target))
+    assert loss_diff > 0.2
+    # Empty target disables.
+    assert float(cooccurrence_matching_loss(
+        jnp.asarray(indep), np.zeros((0, 0), np.float32))) == 0.0
+
+
+def test_spec_build_with_mutation_data(rng):
+    data = (rng.random((50, 3)) < 0.4).astype(np.float32)
+    spec = ConstraintSpec.build(
+        ["A", "B", "C"], ["G0"], ["P0"], mutation_data=data
+    )
+    assert spec.mutation_corr_target.shape == (3, 3)
+    np.testing.assert_allclose(np.diag(spec.mutation_corr_target), 1.0,
+                               atol=1e-5)
