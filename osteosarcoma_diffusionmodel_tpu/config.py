@@ -95,9 +95,11 @@ class ConstraintConfig:
     survival_prediction_weight: float = 0.3
     gene_network_weight: float = 0.2
     # Weight of the mutation co-occurrence matching loss (batch
-    # correlation matrix vs training cohort); new capability, no
-    # reference counterpart.
-    cooccurrence_weight: float = 1.0
+    # correlation matrix vs training cohort). Off by default: measured
+    # to not propagate through the diffusion sampling chain at these
+    # dims (it acts on x0 predictions over mixed-t batches); it applies
+    # to actual model samples for the flow family.
+    cooccurrence_weight: float = 0.0
     # Real constraint losses are implemented (the reference stubs them to
     # 0.0 at cvae.py:281-283,300-302). Set False to reproduce the
     # reference's effective behavior exactly.
