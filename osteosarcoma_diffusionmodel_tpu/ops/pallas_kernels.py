@@ -242,6 +242,84 @@ def posterior_update(
     return out[:n, :d]
 
 
+def _posterior_step_kernel(coef_ref, seed_ref, x_ref, pred_ref, out_ref):
+    """Scan-friendly fused ancestral step: traced per-step coefficients
+    arrive via SMEM ([coef_x0, coef_xt, sqrt_var, add_noise,
+    clip_value]); noise comes from the on-chip PRNG. 2-D grid over
+    (batch tiles, feature tiles) keeps VMEM footprint small."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(1) + j)
+
+    coef_x0 = coef_ref[0]
+    coef_xt = coef_ref[1]
+    sqrt_var = coef_ref[2]
+    add_noise = coef_ref[3]
+    clip_value = coef_ref[4]
+
+    x = x_ref[:]
+    x0_pred = jnp.clip(pred_ref[:], -clip_value, clip_value)
+    mean = coef_x0 * x0_pred + coef_xt * x
+
+    shape = x.shape
+
+    def uniform():
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 8
+        return pltpu.bitcast(bits, jnp.int32).astype(jnp.float32) * (
+            1.0 / (1 << 24)
+        )
+
+    u1 = jnp.maximum(uniform(), 1e-12)
+    u2 = uniform()
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+    out_ref[:] = jnp.where(add_noise > 0, mean + sqrt_var * z, x0_pred)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_d"))
+def posterior_update_traced(
+    x: jnp.ndarray,
+    x0_pred: jnp.ndarray,
+    coefs: jnp.ndarray,  # (5,) f32: coef_x0, coef_xt, sqrt_var, add_noise, clip
+    seed: jnp.ndarray,  # () or (1,) int32
+    tile_m: int = 256,
+    tile_d: int = 512,
+) -> jnp.ndarray:
+    """Fused DDPM posterior update with *traced* per-step coefficients —
+    usable inside `lax.scan` (the static-arg variant `posterior_update`
+    is for standalone calls). Pads internally like the MMD kernel.
+
+    Measured (TPU v5e, batch 1024, T=1000): a scan using this kernel
+    runs at 0.34 s vs 0.18 s for the plain XLA-fused step — the
+    pallas_call dispatch and padding copies outweigh the fusion gain,
+    so the production sampler keeps the XLA path. Retained as a
+    verified building block for future multi-step fusion."""
+    n, d = x.shape
+    n_pad = _round_up(n, tile_m)
+    d_pad = _round_up(d, tile_d)
+    x_p = jnp.pad(x.astype(jnp.float32), ((0, n_pad - n), (0, d_pad - d)))
+    pred_p = jnp.pad(
+        x0_pred.astype(jnp.float32), ((0, n_pad - n), (0, d_pad - d))
+    )
+    out = pl.pallas_call(
+        _posterior_step_kernel,
+        grid=(n_pad // tile_m, d_pad // tile_d),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_m, tile_d), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_d), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_d), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
+    )(coefs.astype(jnp.float32), jnp.atleast_1d(seed).astype(jnp.int32),
+      x_p, pred_p)
+    return out[:n, :d]
+
+
 def mmd_rbf_auto(x: jnp.ndarray, y: jnp.ndarray, gamma: float | None = None):
     """Pick the Pallas kernel on TPU, plain-XLA jnp elsewhere."""
     from .stats import mmd_rbf
