@@ -57,3 +57,19 @@ def test_noise_statistics(rng):
         tile_m=32, interpret=False,
     ))
     assert not np.allclose(out, out2)
+
+
+def test_traced_variant_matches_static(rng):
+    from osteosarcoma_diffusionmodel_tpu.ops.pallas_kernels import (
+        posterior_update_traced,
+    )
+
+    x = rng.normal(size=(32, 300)).astype(np.float32)
+    pred = (rng.normal(size=(32, 300)) * 50).astype(np.float32)
+    coefs = jnp.asarray([0.4, 0.5, 0.0, 1.0, 30.0], jnp.float32)
+    out = np.asarray(posterior_update_traced(
+        jnp.asarray(x), jnp.asarray(pred), coefs, jnp.int32(5),
+        tile_m=16, tile_d=128,
+    ))
+    expected = 0.4 * np.clip(pred, -30, 30) + 0.5 * x
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
