@@ -146,12 +146,19 @@ def chi2_binary_pairs(
     """
     a = a.astype(jnp.float32)
     n = a.shape[0]
-    x = a[:, pair_i]  # (N, K)
-    y = a[:, pair_j]
-    n11 = jnp.sum(x * y, axis=0)
-    n10 = jnp.sum(x * (1 - y), axis=0)
-    n01 = jnp.sum((1 - x) * y, axis=0)
-    n00 = jnp.sum((1 - x) * (1 - y), axis=0)
+    # All-pairs contingency counts via one (G, G) Gram matmul — O(N G^2)
+    # on the MXU instead of gathering (N, n_pairs) slices, and a far
+    # smaller program to compile.
+    counts11 = jnp.dot(
+        a.T, a,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    col_sums = jnp.sum(a, axis=0)
+    n11 = counts11[pair_i, pair_j]
+    n10 = col_sums[pair_i] - n11
+    n01 = col_sums[pair_j] - n11
+    n00 = n - n11 - n10 - n01
 
     row1 = n11 + n10
     row0 = n01 + n00
