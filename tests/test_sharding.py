@@ -152,3 +152,38 @@ def test_graft_dryrun():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+def test_graft_dryrun_driver_path():
+    """Run dryrun_multichip(8) the way the DRIVER does: a fresh
+    subprocess with NO pre-set JAX env (no conftest help), so the
+    in-process device count is whatever the default backend gives
+    (1 on this machine) and the subprocess re-exec fallback must work.
+
+    Round-1 regression: the driver run failed (MULTICHIP_r01.json rc=1)
+    while this suite was green, because conftest.py set the virtual-mesh
+    env before JAX import — a path the driver never takes.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
+        ],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, (proc.stderr or proc.stdout)[-4000:]
