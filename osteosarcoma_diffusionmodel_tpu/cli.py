@@ -164,7 +164,15 @@ def generate_synthetic_patients(config: Config):
 
     updated = Path(UPDATED_CONFIG_PATH)
     if updated.exists():
+        # Prefer the train-time config for model/data consistency
+        # (reference main.py:199-202) but keep the invoking config's
+        # generation/output sections — otherwise generation-time flags
+        # (sampler, calibrate_marginals, scenarios...) are silently
+        # overridden by whatever was set when `train` ran.
+        invoking = config
         config = Config.from_yaml(updated)
+        config.generation = invoking.generation
+        config.output = invoking.output
 
     model, params, batch_stats, config, dims = load_trained_model(
         Path(config.training.save_dir), config

@@ -219,16 +219,22 @@ class GenerationConfig:
     # PRNG inside the reverse-loop scan: "rbg" (TPU hardware generator,
     # ~19x faster in-scan) | "unsafe_rbg" | "threefry" (bit-exact JAX).
     rng_impl: str = "rbg"
-    # Marginal calibration of generated cohorts against the training
-    # cohort (monotone per-feature transforms; the learned dependence
-    # structure is preserved — standard copula-style synthetic-data
-    # post-processing). Mutations always use frequency-matched quantile
-    # thresholds; continuous features:
-    #   "quantile" — full empirical quantile mapping (exact marginals)
+    # Calibration of generated cohorts against the training cohort:
+    #   "copula"   — continuous features: full empirical quantile
+    #                mapping (exact marginals, rank dependence kept);
+    #                mutations: latent-Gaussian (tetrachoric) copula
+    #                fitted on the real cohort and transplanted onto the
+    #                generated scores, so pairwise co-occurrence /
+    #                mutual-exclusivity structure matches the data
+    #                (ops/copula.py) — the default
+    #   "quantile" — quantile mapping for continuous features;
+    #                mutations: frequency-matched per-gene thresholds
+    #                (marginals only, no pairwise structure)
     #   "moment"   — per-feature mean/std matching only
-    #   false      — raw model output (the reference's fixed 0.5 cut)
-    # true is accepted as an alias for "quantile".
-    calibrate_marginals: Any = "quantile"
+    #   false      — raw model output (the reference's fixed 0.5 cut,
+    #                reference generate.py:135)
+    # true is accepted as an alias for "copula".
+    calibrate_marginals: Any = "copula"
     scenarios: List[Scenario] = field(
         default_factory=lambda: [
             Scenario(

@@ -65,6 +65,8 @@ class SyntheticPatientGenerator:
         # jit cache keyed by (sampler kind, guidance, steps): scenarios
         # share one compiled program instead of re-tracing per call.
         self._sample_fns = {}
+        # Fitted mutation copula (freq, corr), cached across scenarios.
+        self._copula = None
 
     # ------------------------------------------------------------------
     def create_conditions(
@@ -188,7 +190,7 @@ class SyntheticPatientGenerator:
         m, e = self.dims.mutation_dim, self.dims.expression_dim
         mode = self.config.generation.calibrate_marginals
         if mode is True:
-            mode = "quantile"
+            mode = "copula"
         calibrate = bool(mode) and self.data_stats is not None and num_samples > 1
         if calibrate:
             mutations, continuous = self._calibrate(samples, m, str(mode))
@@ -208,27 +210,50 @@ class SyntheticPatientGenerator:
     def _calibrate(self, samples: np.ndarray, m: int, mode: str):
         """Marginal calibration against the training cohort.
 
-        Mutations: per-gene quantile threshold so the synthetic mutation
-        frequency matches the real frequency (a monotone transform of
-        the raw scores, replacing the fixed 0.5 cut). Continuous
-        features, by mode:
-        - "quantile": full empirical quantile mapping — each synthetic
-          value is replaced by the real quantile at its within-cohort
-          rank (copula-style; marginals match exactly, rank-based
+        Mutations: by mode —
+        - "copula": latent-Gaussian copula fitted on the real cohort's
+          binary mutation block (tetrachoric correlation) and
+          transplanted onto the raw scores, so pairwise co-occurrence /
+          mutual-exclusivity structure matches the data along with the
+          per-gene frequencies (ops/copula.py)
+        - otherwise: per-gene quantile threshold so the synthetic
+          mutation frequency matches the real frequency (a monotone
+          transform of the raw scores, replacing the fixed 0.5 cut)
+        Continuous features:
+        - "copula"/"quantile": full empirical quantile mapping — each
+          synthetic value is replaced by the real quantile at its
+          within-cohort rank (marginals match exactly, rank-based
           dependence preserved)
         - "moment": per-feature mean/std matching — corrects the
           variance shrinkage a mean-seeking denoiser induces
-        Both are monotone per-feature maps, so the learned dependence
-        structure is preserved.
+        All are per-feature monotone maps except the copula mutation
+        block, which deliberately reshapes the pairwise joint.
         """
         stats = self.data_stats
         raw_mut = samples[:, :m]
-        freq = np.clip(np.asarray(stats["mutation_freq"], np.float64), 0.0, 1.0)
-        thresholds = np.quantile(raw_mut, 1.0 - freq, axis=0).diagonal()
-        mutations = (raw_mut > thresholds[None, :]).astype(np.float32)
+        if (
+            mode == "copula"
+            and "mutation_matrix" in stats
+            and raw_mut.shape[0] > 2
+            and m > 1
+        ):
+            from ..ops.copula import correlation_transplant, fit_binary_copula
+
+            if self._copula is None:
+                self._copula = fit_binary_copula(
+                    np.asarray(stats["mutation_matrix"])
+                )
+            freq, corr = self._copula
+            mutations = correlation_transplant(raw_mut, corr, freq)
+        else:
+            freq = np.clip(
+                np.asarray(stats["mutation_freq"], np.float64), 0.0, 1.0
+            )
+            thresholds = np.quantile(raw_mut, 1.0 - freq, axis=0).diagonal()
+            mutations = (raw_mut > thresholds[None, :]).astype(np.float32)
 
         cont = samples[:, m:]
-        if mode == "quantile" and "feature_sorted" in stats:
+        if mode in ("quantile", "copula") and "feature_sorted" in stats:
             sorted_real = np.asarray(
                 stats["feature_sorted"], np.float32
             )[:, m:]  # (n_real, D_cont), per-feature quantile function

@@ -1,0 +1,252 @@
+"""Gaussian-copula modeling of the binary mutation block.
+
+Closes the round-1 joint-structure gap: continuous diffusion +
+per-gene thresholding reproduces mutation *marginals* but not the
+pairwise co-occurrence structure (chi-square pattern correlation ~0.1
+vs the reference's published 0.87 example, reference README.md:326;
+validator counterpart utils/validation.py:89-121). The fix imposes the
+real cohort's latent-Gaussian (tetrachoric) correlation on the
+generated mutation block:
+
+1. `fit_binary_copula` estimates, per gene pair, the correlation rho of
+   a standard bivariate normal whose orthant probability above the
+   marginal thresholds equals the empirical P(both mutated) — the
+   tetrachoric correlation — via Plackett's identity
+   dPhi2(a,b;r)/dr = phi2(a,b;r), vectorized over all pairs on a fixed
+   r-grid (no scipy bivariate CDF, no per-pair loops).
+2. `correlation_transplant` converts the model's raw mutation scores to
+   per-gene normal scores (rank-based), whitens their empirical
+   correlation, recolors with the target Cholesky factor, and
+   thresholds at the exact per-gene marginal frequency. The transplant
+   is driven by the model output (not fresh noise), so each patient's
+   mutation configuration stays coupled to the expression/pathway
+   profile generated alongside it.
+
+All numpy: this runs once per generated cohort on (N, ~62) blocks —
+host-side microseconds next to the on-device reverse diffusion.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SQRT2 = np.sqrt(2.0)
+
+
+def _norm_ppf(p: np.ndarray) -> np.ndarray:
+    """Standard normal inverse CDF (Acklam's rational approximation,
+    |rel err| < 1.15e-9 — no scipy dependency on this path)."""
+    p = np.asarray(p, np.float64)
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    p = np.clip(p, 1e-12, 1 - 1e-12)
+    out = np.empty_like(p)
+
+    lo = p < plow
+    q = np.sqrt(-2 * np.log(p[lo]))
+    out[lo] = (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+               + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+
+    mid = (~lo) & (p <= phigh)
+    q = p[mid] - 0.5
+    r = q * q
+    out[mid] = ((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r
+                 + a[5]) * q
+                / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r
+                   + 1))
+
+    hi = p > phigh
+    q = np.sqrt(-2 * np.log(1 - p[hi]))
+    out[hi] = -((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+                 + c[5])
+                / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+    return out
+
+
+def _norm_cdf(x: np.ndarray) -> np.ndarray:
+    from math import erf
+
+    return 0.5 * (1.0 + np.vectorize(erf)(np.asarray(x, np.float64) / _SQRT2))
+
+
+def _bvn_density(a: np.ndarray, b: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """Standard bivariate normal density at (a, b) with correlation r.
+
+    a, b broadcast against r; used as the integrand in Plackett's
+    identity to build the orthant probability as a function of rho.
+    """
+    om = 1.0 - r * r
+    return np.exp(-(a * a - 2.0 * r * a * b + b * b) / (2.0 * om)) / (
+        2.0 * np.pi * np.sqrt(om)
+    )
+
+
+def tetrachoric_pairs(
+    p1: np.ndarray,
+    p2: np.ndarray,
+    p11: np.ndarray,
+    grid_size: int = 257,
+    r_max: float = 0.999,
+) -> np.ndarray:
+    """Tetrachoric correlation for each pair.
+
+    Given marginal mutation frequencies ``p1``, ``p2`` and joint
+    frequency ``p11`` (all shape (n_pairs,)), return rho such that
+    P(Z1 > a, Z2 > b; rho) = p11 with a = ppf(1-p1), b = ppf(1-p2).
+
+    Uses P(rho) = p1*p2 + int_0^rho phi2(a, b; r) dr (Plackett), tabled
+    on a fixed symmetric r-grid with cumulative trapezoid, then inverts
+    per pair by monotone interpolation.
+    """
+    p1 = np.asarray(p1, np.float64)
+    p2 = np.asarray(p2, np.float64)
+    p11 = np.asarray(p11, np.float64)
+    a = _norm_ppf(1.0 - p1)[:, None]
+    b = _norm_ppf(1.0 - p2)[:, None]
+
+    r = np.linspace(-r_max, r_max, grid_size)[None, :]  # (1, G)
+    dens = _bvn_density(a, b, r)  # (P, G)
+
+    # Cumulative integral from r=0 outward (grid symmetric around 0).
+    mid = grid_size // 2
+    dr = r[0, 1] - r[0, 0]
+    trap = 0.5 * (dens[:, 1:] + dens[:, :-1]) * dr  # (P, G-1)
+    cum = np.zeros_like(dens)
+    cum[:, mid + 1:] = np.cumsum(trap[:, mid:], axis=1)
+    cum[:, :mid] = -np.cumsum(trap[:, :mid][:, ::-1], axis=1)[:, ::-1]
+    orthant = p1[:, None] * p2[:, None] + cum  # monotone in r
+
+    # Invert: clamp p11 to the attainable range then interpolate r(p11).
+    lo = orthant[:, 0]
+    hi = orthant[:, -1]
+    target = np.clip(p11, lo + 1e-12, hi - 1e-12)
+    idx = np.sum(orthant <= target[:, None], axis=1) - 1
+    idx = np.clip(idx, 0, grid_size - 2)
+    rows = np.arange(len(target))
+    o0 = orthant[rows, idx]
+    o1 = orthant[rows, idx + 1]
+    frac = np.where(o1 > o0, (target - o0) / np.maximum(o1 - o0, 1e-30), 0.0)
+    rho = r[0, idx] + frac * dr
+
+    # Degenerate marginals (freq 0 or 1) carry no pairwise information.
+    degenerate = (
+        (p1 <= 1e-9) | (p1 >= 1 - 1e-9) | (p2 <= 1e-9) | (p2 >= 1 - 1e-9)
+    )
+    return np.where(degenerate, 0.0, np.clip(rho, -r_max, r_max))
+
+
+def nearest_corr_psd(corr: np.ndarray, eps: float = 1e-6) -> np.ndarray:
+    """Project a symmetric matrix to the nearest PSD correlation matrix
+    (eigenvalue clipping + unit-diagonal renormalization)."""
+    corr = 0.5 * (corr + corr.T)
+    w, v = np.linalg.eigh(corr)
+    w = np.maximum(w, eps)
+    fixed = (v * w) @ v.T
+    d = np.sqrt(np.clip(np.diag(fixed), eps, None))
+    fixed = fixed / np.outer(d, d)
+    np.fill_diagonal(fixed, 1.0)
+    return fixed
+
+
+def fit_binary_copula(binary: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Fit a latent-Gaussian copula to a binary (n, D) matrix.
+
+    Returns (freq, corr): per-column frequencies and the PSD tetrachoric
+    correlation matrix of the latent Gaussian.
+    """
+    binary = np.asarray(binary, np.float64)
+    n, d = binary.shape
+    freq = binary.mean(axis=0)
+
+    iu, ju = np.triu_indices(d, k=1)
+    joint = (binary.T @ binary) / n  # (D, D) P(both = 1)
+    rho_flat = tetrachoric_pairs(freq[iu], freq[ju], joint[iu, ju])
+
+    corr = np.eye(d)
+    corr[iu, ju] = rho_flat
+    corr[ju, iu] = rho_flat
+    return freq, nearest_corr_psd(corr)
+
+
+def _normal_scores(x: np.ndarray) -> np.ndarray:
+    """Per-column rank -> standard-normal scores (van der Waerden)."""
+    n = x.shape[0]
+    order = np.argsort(x, axis=0, kind="stable")
+    ranks = np.empty_like(order)
+    rows = np.arange(n)[:, None]
+    np.put_along_axis(ranks, order, np.broadcast_to(rows, order.shape), axis=0)
+    return _norm_ppf((ranks + 0.5) / n)
+
+
+def correlation_transplant(
+    scores: np.ndarray,
+    target_corr: np.ndarray,
+    target_freq: np.ndarray,
+    ridge: float = 1e-3,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Impose (target_corr, target_freq) on raw mutation scores.
+
+    scores: (N, D) raw continuous model outputs for the mutation block.
+    Returns a binary (N, D) matrix whose per-gene mutation counts match
+    ``target_freq`` exactly and whose latent pairwise structure follows
+    ``target_corr``.
+
+    Steps: rank->normal scores, whiten by the empirical correlation
+    (ridge-regularized), recolor with chol(target_corr), threshold each
+    column at its (1 - freq) empirical quantile.
+    """
+    scores = np.asarray(scores, np.float64)
+    n, d = scores.shape
+    u = _normal_scores(scores)
+
+    if n > d + 1:
+        emp = np.corrcoef(u, rowvar=False)
+        emp = nearest_corr_psd(emp * (1 - ridge) + np.eye(d) * ridge)
+        l_emp = np.linalg.cholesky(emp)
+        # Solve L_emp @ w.T = u.T  ->  w = u @ inv(L_emp).T
+        w = np.linalg.solve(l_emp, u.T).T
+    else:
+        # Too few samples to whiten reliably; treat scores as already
+        # independent and only recolor.
+        w = u
+    # Renormalize columns (whitening leaves unit variance only in
+    # expectation).
+    w = w / np.maximum(w.std(axis=0, keepdims=True), 1e-9)
+
+    l_target = np.linalg.cholesky(nearest_corr_psd(target_corr))
+    z = w @ l_target.T
+
+    # Exact marginal counts: threshold at the per-column quantile.
+    k = np.clip(np.round(np.asarray(target_freq) * n).astype(int), 0, n)
+    out = np.zeros((n, d), np.float32)
+    for g in range(d):
+        if k[g] <= 0:
+            continue
+        if k[g] >= n:
+            out[:, g] = 1.0
+            continue
+        thresh = np.partition(z[:, g], n - k[g])[n - k[g]]
+        out[:, g] = (z[:, g] >= thresh).astype(np.float32)
+    return out
+
+
+def copula_calibrate_mutations(
+    raw_scores: np.ndarray, real_binary: np.ndarray
+) -> np.ndarray:
+    """One-call wrapper: fit the copula on the real cohort and transplant
+    it onto the generated mutation scores."""
+    freq, corr = fit_binary_copula(real_binary)
+    return correlation_transplant(raw_scores, corr, freq)

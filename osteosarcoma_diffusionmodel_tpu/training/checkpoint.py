@@ -47,6 +47,10 @@ def save_data_stats(save_dir: Path, arrays) -> None:
         # Sorted per-feature values: the empirical quantile function for
         # full quantile-mapping calibration.
         feature_sorted=np.sort(arrays.data, axis=0),
+        # Real binary mutation block (n x m, tiny): the copula
+        # calibration fits its tetrachoric correlation at generation
+        # time (ops/copula.py).
+        mutation_matrix=arrays.data[:, :m],
     )
 
 
