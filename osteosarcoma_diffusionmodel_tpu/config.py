@@ -76,7 +76,16 @@ class DiffusionConfig:
     # 5142->256 MLP bottleneck (no input passthrough) and its reverse
     # chain explodes through the cosine schedule's clipped-beta tail;
     # "epsilon" reproduces the reference's behavior exactly.
-    parameterization: str = "x0"  # x0 | epsilon
+    # "v" predicts v = sqrt(acp)*eps - sqrt(1-acp)*x0: x0 is recovered
+    # with an explicit x_t term at every t, preserving per-sample
+    # variation a conditional-mean x0 head shrinks away.
+    parameterization: str = "x0"  # x0 | epsilon | v
+    # Learned per-feature residual sigma of x0 (second denoiser head,
+    # Gaussian NLL with stop-gradient mean), sampled as residual noise
+    # at the final reverse step — raw (uncalibrated) marginal
+    # dispersion then matches the data without post-hoc calibration.
+    learn_sigma: bool = False
+    sigma_loss_weight: float = 1.0
     # Clamp the predicted x0 during sampling (standard DDPM
     # clip_denoised); disable for strict reference parity.
     clip_denoised: bool = True

@@ -85,9 +85,19 @@ class ConditionalDiffusion:
     # probability. 0 disables CFG (reference-equivalent behavior).
     cfg_dropout_prob: float = 0.0
     # "x0" predicts the clean vector (epsilon derived analytically);
-    # "epsilon" is the reference's parameterization. See config.py
-    # DiffusionConfig for why x0 is the default at these dims.
+    # "epsilon" is the reference's parameterization; "v" predicts
+    # v = sqrt(acp)*eps - sqrt(1-acp)*x0 (Salimans & Ho progressive
+    # distillation) — x0 is then recovered with an explicit x_t term
+    # at every t, which preserves per-sample variation a pure
+    # conditional-mean x0 head regresses away. See config.py
+    # DiffusionConfig.
     parameterization: str = "x0"
+    # Learned per-feature residual sigma of x0 (second denoiser head,
+    # Gaussian NLL with stop-gradient mean); sampled as residual noise
+    # at the final reverse step so raw (uncalibrated) marginal
+    # dispersion matches the data.
+    learn_sigma: bool = False
+    sigma_loss_weight: float = 1.0
     # Optional (D,) per-feature loss weights (sum-preserving); None =
     # unweighted mean, matching the reference. Built from the block
     # dims by from_config when block_loss_weighting == "balanced".
@@ -107,6 +117,11 @@ class ConditionalDiffusion:
         constraint_spec: Optional[ConstraintSpec] = None,
     ) -> "ConditionalDiffusion":
         mc = config.model
+        if mc.diffusion.parameterization not in ("x0", "epsilon", "v"):
+            raise ValueError(
+                f"Unknown diffusion.parameterization "
+                f"{mc.diffusion.parameterization!r}; expected x0|epsilon|v"
+            )
         denoiser = DiffusionDenoiser(
             data_dim=dims.data_dim,
             time_dim=mc.latent_dim,
@@ -115,6 +130,7 @@ class ConditionalDiffusion:
             dropout=mc.gnn.dropout,
             dtype=jnp.dtype(mc.compute_dtype),
             input_skip=mc.denoiser_input_skip,
+            learn_sigma=mc.diffusion.learn_sigma,
         )
         schedule = DiffusionSchedule.create(
             mc.diffusion.beta_schedule, mc.diffusion.num_steps
@@ -133,6 +149,8 @@ class ConditionalDiffusion:
         use_constraints = mc.constraints.enabled and constraint_spec is not None
         return ConditionalDiffusion(
             denoiser=denoiser,
+            learn_sigma=mc.diffusion.learn_sigma,
+            sigma_loss_weight=mc.diffusion.sigma_loss_weight,
             schedule=schedule,
             loss_type=mc.diffusion.loss_type,
             constraint_spec=constraint_spec if use_constraints else None,
@@ -161,6 +179,24 @@ class ConditionalDiffusion:
         t = jnp.zeros((2,), jnp.float32)
         c = jnp.zeros((2, condition_dim), jnp.float32)
         return self.denoiser.init({"params": rng}, x, t, conditions=c)["params"]
+
+    # ------------------------------------------------------------------
+    # Parameterization helpers
+    # ------------------------------------------------------------------
+    def _split_sigma(self, pred: jnp.ndarray):
+        """Split the denoiser output into (prediction, logvar|None)."""
+        if not self.learn_sigma:
+            return pred, None
+        return jnp.split(pred, 2, axis=-1)
+
+    def _predict_x0(self, pred, x_t, sqrt_acp, sqrt_om):
+        """Recover x0 from the network prediction under any
+        parameterization. sqrt_acp/sqrt_om broadcast against x_t."""
+        if self.parameterization == "x0":
+            return pred
+        if self.parameterization == "v":
+            return sqrt_acp * x_t - sqrt_om * pred
+        return (x_t - sqrt_om * pred) / sqrt_acp
 
     # ------------------------------------------------------------------
     # Forward process
@@ -213,8 +249,16 @@ class ConditionalDiffusion:
             deterministic=deterministic,
             rngs=None if deterministic else {"dropout": drop_rng},
         )
+        pred, logvar = self._split_sigma(pred)
 
-        target = x0 if self.parameterization == "x0" else noise
+        sqrt_acp = self.schedule.sqrt_alphas_cumprod[t][:, None]
+        sqrt_om = self.schedule.sqrt_one_minus_alphas_cumprod[t][:, None]
+        if self.parameterization == "x0":
+            target = x0
+        elif self.parameterization == "v":
+            target = sqrt_acp * noise - sqrt_om * x0
+        else:
+            target = noise
         err = _elementwise_loss(pred, target, self.loss_type)
         if self.feature_loss_weights is not None:
             err = err * jnp.asarray(self.feature_loss_weights)[None, :]
@@ -222,14 +266,20 @@ class ConditionalDiffusion:
         metrics = {"diffusion_loss": mse}
         total = mse
 
+        x0_pred = None
+        if self.constraint_spec is not None or logvar is not None:
+            x0_pred = self._predict_x0(pred, x_t, sqrt_acp, sqrt_om)
+
+        if logvar is not None:
+            # Residual-variance head: Gaussian NLL against the true x0
+            # with a stop-gradient mean — trains sigma without biasing
+            # the mean predictor.
+            resid = x0 - jax.lax.stop_gradient(x0_pred)
+            nll = 0.5 * jnp.mean(logvar + resid**2 * jnp.exp(-logvar))
+            metrics["sigma_nll"] = nll
+            total = total + self.sigma_loss_weight * nll
+
         if self.constraint_spec is not None:
-            if self.parameterization == "x0":
-                x0_pred = pred
-            else:
-                # Predicted x0 is free given the predicted noise.
-                sqrt_acp = self.schedule.sqrt_alphas_cumprod[t][:, None]
-                sqrt_om = self.schedule.sqrt_one_minus_alphas_cumprod[t][:, None]
-                x0_pred = (x_t - sqrt_om * pred) / sqrt_acp
             terms = constraint_losses(x0_pred, self.constraint_spec)
             metrics.update(terms)
             total = (
@@ -278,6 +328,14 @@ class ConditionalDiffusion:
                 deterministic=True,
             )
             eps_cond, eps_uncond = jnp.split(eps2, 2, axis=0)
+            if self.learn_sigma:
+                # Guide the prediction only; keep the conditional
+                # branch's logvar (extrapolating variances is
+                # meaningless).
+                mean_c, logvar_c = jnp.split(eps_cond, 2, axis=-1)
+                mean_u, _ = jnp.split(eps_uncond, 2, axis=-1)
+                guided = mean_u + guidance_scale * (mean_c - mean_u)
+                return jnp.concatenate([guided, logvar_c], axis=-1)
             return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
 
         return denoise_cfg
@@ -314,6 +372,7 @@ class ConditionalDiffusion:
         ts = jnp.arange(T - 1, -1, -1)
         step_coeffs = {
             "t_norm": ts.astype(jnp.float32) / T,
+            "sqrt_acp": sched.sqrt_alphas_cumprod[ts],
             "inv_sqrt_acp": 1.0 / sched.sqrt_alphas_cumprod[ts],
             "sqrt_om_acp": sched.sqrt_one_minus_alphas_cumprod[ts],
             "coef_x0": sched.posterior_coef_x0[ts],
@@ -325,9 +384,11 @@ class ConditionalDiffusion:
 
         def body(x, coeffs):
             t_vec = jnp.full((num_samples,), coeffs["t_norm"], jnp.float32)
-            pred = denoise(x, t_vec)
+            pred, logvar = self._split_sigma(denoise(x, t_vec))
             if self.parameterization == "x0":
                 x0_pred = pred
+            elif self.parameterization == "v":
+                x0_pred = coeffs["sqrt_acp"] * x - coeffs["sqrt_om_acp"] * pred
             else:
                 x0_pred = (x - coeffs["sqrt_om_acp"] * pred) * coeffs["inv_sqrt_acp"]
             if self.clip_denoised:
@@ -336,8 +397,13 @@ class ConditionalDiffusion:
                 )
             mean = coeffs["coef_x0"] * x0_pred + coeffs["coef_xt"] * x
             z = jax.random.normal(coeffs["step_key"], x.shape, jnp.float32)
+            final = x0_pred
+            if logvar is not None:
+                # Final step: add the learned per-feature residual noise
+                # so raw marginal dispersion matches the data.
+                final = final + jnp.exp(0.5 * logvar) * z
             x_prev = jnp.where(
-                coeffs["add_noise"] > 0, mean + coeffs["sqrt_var"] * z, x0_pred
+                coeffs["add_noise"] > 0, mean + coeffs["sqrt_var"] * z, final
             )
             return x_prev, None
 
@@ -391,14 +457,19 @@ class ConditionalDiffusion:
                 )
             ),
             "sigma": jnp.asarray(sigma, jnp.float32),
+            "is_last": jnp.asarray(prev_np < 0, jnp.float32),
             "step_key": derive_step_keys(scan_rng, n_steps, self.sampler_rng_impl),
         }
 
         def body(x, coeffs):
             t_vec = jnp.full((num_samples,), coeffs["t_norm"], jnp.float32)
-            pred = denoise(x, t_vec)
+            pred, logvar = self._split_sigma(denoise(x, t_vec))
             if self.parameterization == "x0":
                 x0_pred = pred
+            elif self.parameterization == "v":
+                x0_pred = (
+                    coeffs["sqrt_acp_t"] * x - coeffs["sqrt_om_acp_t"] * pred
+                )
             else:
                 x0_pred = (x - coeffs["sqrt_om_acp_t"] * pred) / coeffs["sqrt_acp_t"]
             if self.clip_denoised:
@@ -415,6 +486,11 @@ class ConditionalDiffusion:
                 + coeffs["dir_coef"] * eps
                 + coeffs["sigma"] * z
             )
+            if logvar is not None:
+                # Learned residual noise on the final step only.
+                x_prev = x_prev + (
+                    coeffs["is_last"] * jnp.exp(0.5 * logvar) * z
+                )
             return x_prev, None
 
         x0, _ = jax.lax.scan(body, x_t, step_coeffs)

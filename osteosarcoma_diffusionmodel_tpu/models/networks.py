@@ -97,6 +97,12 @@ class DiffusionDenoiser(nn.Module):
     # sample under-dispersion the pure-MLP reference suffers. Disable
     # for exact reference-architecture parity.
     input_skip: bool = True
+    # Learned per-feature residual log-variance of x0 given (x_t, t, c)
+    # ("DDPM with learned sigma"): a second output head, trained by
+    # Gaussian NLL with a stop-gradient mean, sampled as white residual
+    # noise at the final reverse step. Restores the marginal dispersion
+    # an MSE-trained conditional-mean predictor shrinks away.
+    learn_sigma: bool = False
 
     def setup(self):
         hidden = list(self.hidden_dims)
@@ -124,6 +130,16 @@ class DiffusionDenoiser(nn.Module):
             for j, i in enumerate(range(len(hidden) - 2, -1, -1))
         ]
         self.output_proj = nn.Dense(self.data_dim, dtype=self.dtype)
+        if self.learn_sigma:
+            # Zero kernel + strongly negative bias: starts as "almost no
+            # residual noise" (sigma ~ e^-3) and learns upward.
+            self.sigma_proj = nn.Dense(
+                self.data_dim,
+                dtype=jnp.float32,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.constant(-6.0),
+                name="sigma_proj",
+            )
 
     def embed_conditions(self, conditions: jnp.ndarray) -> jnp.ndarray:
         """Project clinical conditions to the model width.
@@ -169,6 +185,11 @@ class DiffusionDenoiser(nn.Module):
         if self.input_skip:
             gain = self.skip_gain(t_sinusoid)  # (B, 1), zero-init
             out = out + gain * x.astype(jnp.float32)
+        if self.learn_sigma:
+            logvar = jnp.clip(
+                self.sigma_proj(h.astype(jnp.float32)), -12.0, 4.0
+            )
+            return jnp.concatenate([out, logvar], axis=-1)
         return out
 
 

@@ -1,0 +1,127 @@
+"""v-parameterization and learned-sigma residual head (round-2 VERDICT
+item 4: raw dispersion without post-hoc calibration).
+
+Counterpart algebra: reference models/diffusion.py:328-342 (q_sample)
+and :383-449 (sampling) — the v target is a rotation of (x0, eps), so
+x0 must be exactly recoverable from (x_t, v)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osteosarcoma_diffusionmodel_tpu.config import Config
+from osteosarcoma_diffusionmodel_tpu.models.diffusion import ConditionalDiffusion
+
+
+def make_model(parameterization="v", learn_sigma=False, num_steps=20):
+    cfg = Config()
+    cfg.model.hidden_dims = [32, 64, 32]
+    cfg.model.latent_dim = 16
+    cfg.model.diffusion.num_steps = num_steps
+    cfg.model.compute_dtype = "float32"
+    cfg.model.constraints.enabled = False
+    cfg.model.diffusion.parameterization = parameterization
+    cfg.model.diffusion.learn_sigma = learn_sigma
+    dims = cfg.freeze_dims(6, 10, 4, ["a", "b", "c"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    return model, params, dims
+
+
+def test_v_target_roundtrip():
+    """x0 == sqrt_acp * x_t - sqrt_om * v, exactly, for every t."""
+    model, _, dims = make_model("v")
+    rng = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(rng, (5, dims.data_dim))
+    noise = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    t = jnp.array([0, 3, 9, 14, 19])
+    xt = model.q_sample(x0, t, noise)
+    a = model.schedule.sqrt_alphas_cumprod[t][:, None]
+    s = model.schedule.sqrt_one_minus_alphas_cumprod[t][:, None]
+    v = a * noise - s * x0
+    rec = model._predict_x0(v, xt, a, s)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x0), atol=1e-5)
+    # And epsilon: eps == s * x_t + a * v.
+    eps = s * xt + a * v
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(noise), atol=1e-5)
+
+
+@pytest.mark.parametrize("param", ["x0", "epsilon", "v"])
+@pytest.mark.parametrize("learn_sigma", [False, True])
+def test_loss_and_samplers_run(param, learn_sigma):
+    model, params, dims = make_model(param, learn_sigma)
+    rng = jax.random.PRNGKey(2)
+    x0 = jax.random.normal(rng, (8, dims.data_dim))
+    cond = jnp.zeros((8, dims.condition_dim))
+    loss, metrics = model.loss(params, x0, cond, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+    if learn_sigma:
+        assert "sigma_nll" in metrics
+
+    out = model.sample(params, cond, jax.random.PRNGKey(4))
+    assert out.shape == (8, dims.data_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+    out_ddim = model.sample_ddim(
+        params, cond, jax.random.PRNGKey(5), num_sampling_steps=5
+    )
+    assert out_ddim.shape == (8, dims.data_dim)
+    assert np.isfinite(np.asarray(out_ddim)).all()
+
+
+def test_learn_sigma_doubles_denoiser_output():
+    model, params, dims = make_model("x0", learn_sigma=True)
+    x = jnp.zeros((2, dims.data_dim))
+    t = jnp.zeros((2,))
+    c = jnp.zeros((2, dims.condition_dim))
+    out = model.denoiser.apply(
+        {"params": params}, x, t, conditions=c, deterministic=True
+    )
+    assert out.shape == (2, 2 * dims.data_dim)
+    mean, logvar = model._split_sigma(out)
+    assert mean.shape == logvar.shape == (2, dims.data_dim)
+    # Fresh init: zero kernel + bias -6 -> tiny starting sigma.
+    np.testing.assert_allclose(np.asarray(logvar), -6.0, atol=1e-5)
+
+
+def test_learned_sigma_restores_dispersion():
+    """Train on dispersed data with a mean-collapsing setup; the sigma
+    head must push raw sample std toward the data std."""
+    import optax
+
+    model, params, dims = make_model("v", learn_sigma=True, num_steps=50)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(
+        rng.normal(0.0, 2.0, size=(64, dims.data_dim)).astype(np.float32)
+    )
+    cond = jnp.zeros((64, dims.condition_dim))
+
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, key):
+        (l, _), g = jax.value_and_grad(model.loss, has_aux=True)(
+            params, data, cond, key, True
+        )
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, l
+
+    key = jax.random.PRNGKey(0)
+    for i in range(300):
+        params, opt, _ = step(params, opt, jax.random.fold_in(key, i))
+
+    samples = model.sample(params, jnp.zeros((256, dims.condition_dim)),
+                           jax.random.PRNGKey(9))
+    std_ratio = float(jnp.std(samples) / 2.0)
+    assert std_ratio > 0.6, f"std ratio {std_ratio} still collapsed"
+
+
+def test_cfg_guidance_with_sigma_head():
+    model, params, dims = make_model("v", learn_sigma=True)
+    cond = jnp.ones((4, dims.condition_dim))
+    out = model.sample(params, cond, jax.random.PRNGKey(0),
+                       guidance_scale=2.5)
+    assert out.shape == (4, dims.data_dim)
+    assert np.isfinite(np.asarray(out)).all()
