@@ -29,7 +29,10 @@ REPO = Path(__file__).resolve().parent
 
 MUTATION_DIM, EXPRESSION_DIM, PATHWAY_DIM, CONDITION_DIM = 62, 5054, 26, 3
 NUM_STEPS = 1000
-BATCH = 2048  # measured throughput optimum on v5e (sweep in git history)
+# Measured optimum on v5e with the bf16-carry + uniform-transition-noise
+# sampler (round-2 sweep: 2048 -> 9.7k, 3072 -> 10.3k, 4096 -> 10.5k
+# patients/sec; the round-1 f32+gaussian sampler peaked at 2048 -> 6.1k).
+BATCH = 4096
 
 
 def reference_baseline() -> float:
@@ -59,13 +62,14 @@ def main():
     conditions = jnp.zeros((BATCH, CONDITION_DIM), jnp.float32)
     sample = jax.jit(lambda p, c, k: model.sample(p, c, k))
 
-    # Compile + warm-up.
-    jax.block_until_ready(sample(params, conditions, jax.random.PRNGKey(1)))
+    # Compile + warm-up. A scalar readback forces completion — on the
+    # tunneled backend block_until_ready alone can return early.
+    float(sample(params, conditions, jax.random.PRNGKey(1))[0, 0])
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(sample(params, conditions, jax.random.PRNGKey(2 + i)))
+        float(sample(params, conditions, jax.random.PRNGKey(2 + i))[12, 34])
         times.append(time.perf_counter() - t0)
 
     best = min(times)

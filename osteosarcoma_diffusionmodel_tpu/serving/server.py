@@ -36,6 +36,11 @@ from ..generation.generator import SyntheticPatientGenerator, load_trained_model
 logger = logging.getLogger(__name__)
 
 MAX_BATCH = 16384
+# A JSON body of 16384 x 5142 floats is multi-GB; above this cohort
+# size the client must request {"format": "npz"} (compressed binary)
+# or page the request.
+MAX_JSON_SAMPLES = 1024
+MAX_REQUEST_BYTES = 1_000_000
 
 
 def _bucket(n: int) -> int:
@@ -77,18 +82,19 @@ class GenerationService:
     ) -> Dict[str, np.ndarray]:
         if not 1 <= num_samples <= MAX_BATCH:
             raise ValueError(f"num_samples must be in [1, {MAX_BATCH}]")
-        with self._lock:
-            self._seed += 1
-            seed = self._seed
-            if sampler:
-                self.config.generation.sampler = sampler
         bucket = _bucket(num_samples)
         t0 = time.perf_counter()
-        out = self.generator.generate(
-            bucket, scenario, rng=jax.random.PRNGKey(seed)
-        )
-        dt = time.perf_counter() - t0
+        # The whole generate runs under the lock: device work is
+        # serialized anyway, and the per-request sampler override must
+        # not race a concurrent request's read of the shared config.
         with self._lock:
+            self._seed += 1
+            if sampler:
+                self.config.generation.sampler = sampler
+            out = self.generator.generate(
+                bucket, scenario, rng=jax.random.PRNGKey(self._seed)
+            )
+            dt = time.perf_counter() - t0
             self.metrics["requests"] += 1
             self.metrics["patients"] += num_samples
             self.metrics["total_seconds"] += dt
@@ -125,18 +131,54 @@ def make_handler(service: GenerationService):
             else:
                 self._send(404, {"error": "not found"})
 
+        def _send_npz(self, out: Dict):
+            import io
+
+            buf = io.BytesIO()
+            np.savez_compressed(buf, **out)
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Disposition",
+                             "attachment; filename=synthetic_patients.npz")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
             if self.path != "/generate":
                 self._send(404, {"error": "not found"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_REQUEST_BYTES:
+                    self._send(413, {
+                        "error": f"request body exceeds {MAX_REQUEST_BYTES} bytes"
+                    })
+                    return
                 req = json.loads(self.rfile.read(length) or b"{}")
+                num_samples = int(req.get("num_samples", 1))
+                fmt = str(req.get("format", "json")).lower()
+                if fmt not in ("json", "npz"):
+                    self._send(400, {"error": f"unknown format {fmt!r}"})
+                    return
+                if fmt == "json" and num_samples > MAX_JSON_SAMPLES:
+                    self._send(413, {
+                        "error": (
+                            f"JSON responses are capped at {MAX_JSON_SAMPLES} "
+                            f"samples; request {{'format': 'npz'}} for large "
+                            f"cohorts or page the request"
+                        )
+                    })
+                    return
                 out = service.generate(
-                    int(req.get("num_samples", 1)),
+                    num_samples,
                     req.get("scenario"),
                     req.get("sampler"),
                 )
+                if fmt == "npz":
+                    self._send_npz(out)
+                    return
                 self._send(200, {
                     "num_samples": len(out["mutations"]),
                     "mutations": out["mutations"].tolist(),

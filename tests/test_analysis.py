@@ -83,3 +83,56 @@ def test_figures_generated(tmp_path, rng):
                                    "mmd": 0.1,
                                    "mutation_frequency_correlation": 0.9})
     assert out5 is not None and out5.exists()
+
+
+def test_embed_2d_umap_branch_via_stub(rng, monkeypatch):
+    """Exercise the UMAP code path (round-1 VERDICT item 8): umap-learn
+    is absent in this image, so inject a minimal stand-in module and
+    check embed_2d routes through it."""
+    import sys
+    import types
+
+    calls = {}
+
+    class FakeUMAP:
+        def __init__(self, n_components=2, random_state=0):
+            calls["n_components"] = n_components
+
+        def fit_transform(self, x):
+            calls["n_rows"] = len(x)
+            return np.asarray(x)[:, :2] * 0.0 + 7.0
+
+    fake = types.ModuleType("umap")
+    fake.UMAP = FakeUMAP
+    monkeypatch.setitem(sys.modules, "umap", fake)
+
+    real = rng.normal(size=(10, 6)).astype(np.float32)
+    synth = rng.normal(size=(4, 6)).astype(np.float32)
+    r2, s2 = embed_2d(real, synth)
+    assert calls == {"n_components": 2, "n_rows": 14}
+    assert r2.shape == (10, 2) and s2.shape == (4, 2)
+    np.testing.assert_allclose(r2, 7.0)
+
+
+def test_kaplan_meier_matches_lifelines_or_hand_value():
+    """KM parity with lifelines when installed (not in this image),
+    otherwise against the hand-computed product-limit values."""
+    times = np.array([5.0, 10.0, 10.0, 20.0, 30.0, 30.0, 40.0])
+    events = np.array([1, 1, 0, 1, 0, 1, 0])
+    t, s = kaplan_meier(times, events)
+    try:
+        from lifelines import KaplanMeierFitter
+
+        kmf = KaplanMeierFitter().fit(times, events)
+        ours = dict(zip(t, s))
+        for ti, si in ours.items():
+            np.testing.assert_allclose(
+                float(kmf.predict(ti)), si, atol=1e-9
+            )
+    except ImportError:
+        # S(5)=6/7; S(10)=6/7*5/6=5/7; S(20): 4 at risk -> *3/4;
+        # S(30): 3 at risk, 1 death -> *2/3.
+        np.testing.assert_allclose(t, [5.0, 10.0, 20.0, 30.0])
+        np.testing.assert_allclose(
+            s, [6 / 7, 5 / 7, 5 / 7 * 3 / 4, 5 / 7 * 3 / 4 * 2 / 3]
+        )

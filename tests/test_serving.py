@@ -88,3 +88,60 @@ def test_http_roundtrip(trained_checkpoint):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_http_npz_and_caps(trained_checkpoint):
+    """Round-2: JSON cap (413 + guidance), npz binary path, request-size
+    cap (round-1 VERDICT weak #6)."""
+    import io
+
+    import numpy as np
+
+    from osteosarcoma_diffusionmodel_tpu.serving import server as srv
+
+    server = serve(trained_checkpoint, port=0, warmup=False)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+
+        # JSON response cap -> 413 with npz guidance.
+        conn.request("POST", "/generate", body=json.dumps(
+            {"num_samples": srv.MAX_JSON_SAMPLES + 1}))
+        resp = conn.getresponse()
+        err = json.loads(resp.read())
+        assert resp.status == 413 and "npz" in err["error"]
+
+        # npz format returns a loadable compressed archive.
+        conn.request("POST", "/generate", body=json.dumps(
+            {"num_samples": 3, "format": "npz",
+             "scenario": {"survival_time": 400}}))
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "application/octet-stream"
+        with np.load(io.BytesIO(resp.read())) as f:
+            assert f["mutations"].shape[0] == 3
+            assert set(f.files) >= {"mutations", "expression",
+                                    "pathways", "conditions"}
+
+        # Unknown format -> 400.
+        conn.request("POST", "/generate", body=json.dumps(
+            {"num_samples": 1, "format": "parquet"}))
+        assert conn.getresponse().status == 400
+
+        # Oversized request body -> 413 without reading it. The server
+        # responds before consuming the body, so the client may instead
+        # see EPIPE mid-write — both prove the body was not processed.
+        conn2 = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        try:
+            conn2.request("POST", "/generate",
+                          body=b"x" * (srv.MAX_REQUEST_BYTES + 1))
+            assert conn2.getresponse().status == 413
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+        finally:
+            conn2.close()
+    finally:
+        server.shutdown()
+        server.server_close()

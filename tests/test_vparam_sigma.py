@@ -118,6 +118,22 @@ def test_learned_sigma_restores_dispersion():
     assert std_ratio > 0.6, f"std ratio {std_ratio} still collapsed"
 
 
+def test_bf16_sample_dtype_statistically_matches_f32():
+    """sample_dtype=bfloat16 is a perf knob: per-sample values differ in
+    low bits but cohort statistics must agree."""
+    import dataclasses
+
+    model, params, dims = make_model("x0", num_steps=50)
+    model_bf16 = dataclasses.replace(model, sample_dtype="bfloat16")
+    cond = jnp.zeros((512, dims.condition_dim))
+    key = jax.random.PRNGKey(7)
+    a = np.asarray(model.sample(params, cond, key))
+    b = np.asarray(model_bf16.sample(params, cond, key))
+    assert b.dtype == np.float32  # cast back at the boundary
+    np.testing.assert_allclose(a.mean(0), b.mean(0), atol=0.05)
+    np.testing.assert_allclose(a.std(0), b.std(0), atol=0.05)
+
+
 def test_cfg_guidance_with_sigma_head():
     model, params, dims = make_model("v", learn_sigma=True)
     cond = jnp.ones((4, dims.condition_dim))
