@@ -56,6 +56,15 @@ def _banner(msg: str) -> None:
 
 
 # ----------------------------------------------------------------------
+def _pretrain_projects(config: Config):
+    """pretrain_datasets entries that are GDC project ids (not local
+    directories) and therefore need download/preprocess."""
+    aug = config.training.augmentation
+    if not (aug.cross_cancer_pretrain and aug.pretrain_datasets):
+        return []
+    return [e for e in aug.pretrain_datasets if not Path(e).is_dir()]
+
+
 def download_data(config: Config):
     _banner("STEP 1: Downloading TARGET-OS data from GDC")
     loader = GDCDataLoader(
@@ -64,6 +73,12 @@ def download_data(config: Config):
     results = loader.download_all(
         include_copy_number=config.data.download.copy_number
     )
+    for project in _pretrain_projects(config):
+        logger.info("Downloading pretrain cohort %s", project)
+        GDCDataLoader(
+            project_id=project,
+            data_dir=Path(config.data.data_dir) / "pretrain" / project,
+        ).download_all()
     logger.info("Downloaded data to: %s", results)
     return results
 
@@ -76,6 +91,18 @@ def preprocess_data(config: Config):
         config=config,
     )
     processed = processor.process_all()
+    for project in _pretrain_projects(config):
+        base = Path(config.data.data_dir) / "pretrain" / project
+        if not (base / "raw").exists():
+            logger.warning("Pretrain cohort %s has no raw data; skipping",
+                           project)
+            continue
+        logger.info("Preprocessing pretrain cohort %s", project)
+        OsteosarcomaPreprocessor(
+            raw_dir=base / "raw",
+            processed_dir=base / "processed",
+            config=config,
+        ).process_all()
     logger.info("Processed %d samples", len(processed["mutation_matrix"]))
     return processed
 
@@ -132,6 +159,28 @@ def train_model(config: Config, resume: bool = False, profile: bool = False):
     constraint_spec = _build_constraint_spec(config, arrays)
     model = build_model(config, dims, constraint_spec)
     trainer = Trainer(model, arrays, dims, config)
+
+    from .data.dataset import load_pretrain_arrays
+
+    pretrain_arrays = load_pretrain_arrays(config, arrays)
+    if pretrain_arrays is not None:
+        _banner(
+            f"STEP 4a: Cross-cancer pretraining "
+            f"({pretrain_arrays.n_samples} samples)"
+        )
+        import copy
+
+        pre_cfg = copy.deepcopy(config)
+        pre_cfg.training.num_epochs = config.training.pretrain_epochs
+        pre_cfg.training.patience = config.training.pretrain_epochs
+        pre_cfg.training.save_dir = str(
+            Path(config.training.save_dir) / "pretrain"
+        )
+        pre_trainer = Trainer(model, pretrain_arrays, dims, pre_cfg)
+        pre_trainer.train()
+        # Finetune from the pretrained weights; fresh optimizer state.
+        trainer.params = pre_trainer.params
+        trainer.batch_stats = pre_trainer.batch_stats
     if profile:
         from .utils.profiling import profile_trace
 

@@ -172,6 +172,11 @@ class TrainingConfig:
     random_seed: int = 42
     save_dir: str = "./results/checkpoints"
     save_frequency: int = 10
+    # Epochs for the cross-cancer pretraining phase (only used when
+    # augmentation.cross_cancer_pretrain is on and pretrain_datasets
+    # resolve to processed cohorts; the reference declares those keys
+    # but never reads them).
+    pretrain_epochs: int = 200
     # LR plateau scheduler (reference train.py:176-181).
     lr_plateau_factor: float = 0.5
     lr_plateau_patience: int = 10
@@ -241,21 +246,24 @@ class GenerationConfig:
     # score unchanged). "normal" for textbook DDPM noise.
     noise_type: str = "uniform"
     # Calibration of generated cohorts against the training cohort:
-    #   "copula"   — continuous features: full empirical quantile
-    #                mapping (exact marginals, rank dependence kept);
-    #                mutations: latent-Gaussian (tetrachoric) copula
+    #   "copula_full" — mutations: latent-Gaussian (tetrachoric) copula
     #                fitted on the real cohort and transplanted onto the
-    #                generated scores, so pairwise co-occurrence /
-    #                mutual-exclusivity structure matches the data
-    #                (ops/copula.py) — the default
-    #   "quantile" — quantile mapping for continuous features;
-    #                mutations: frequency-matched per-gene thresholds
-    #                (marginals only, no pairwise structure)
+    #                generated scores (pairwise co-occurrence /
+    #                mutual-exclusivity structure matches the data);
+    #                continuous: the real rank correlation transplanted
+    #                before quantile mapping (within-pathway coherence +
+    #                cross-feature structure match). The default —
+    #                measured: pathway coherence corr 0.36 -> 0.91, MMD
+    #                0.24 -> 0.07 on the 10k full-scale demo
+    #                (ops/copula.py).
+    #   "copula"   — copula mutations + marginal-only (quantile-mapped)
+    #                continuous features
+    #   "quantile" — marginals only for both blocks
     #   "moment"   — per-feature mean/std matching only
     #   false      — raw model output (the reference's fixed 0.5 cut,
     #                reference generate.py:135)
-    # true is accepted as an alias for "copula".
-    calibrate_marginals: Any = "copula"
+    # true is accepted as an alias for "copula_full".
+    calibrate_marginals: Any = "copula_full"
     scenarios: List[Scenario] = field(
         default_factory=lambda: [
             Scenario(

@@ -107,6 +107,106 @@ def build_arrays(
     )
 
 
+def resolve_pretrain_dir(entry: str, config: Config) -> Path:
+    """A pretrain_datasets entry is either a processed-data directory or
+    a GDC project id mapping to data_dir/pretrain/<project>/processed."""
+    p = Path(entry)
+    if p.is_dir():
+        return p
+    return Path(config.data.data_dir) / "pretrain" / entry / "processed"
+
+
+def load_pretrain_arrays(
+    config: Config, primary: OsteosarcomaArrays
+) -> Optional[OsteosarcomaArrays]:
+    """Cross-cancer pretraining cohorts, aligned onto the primary
+    cohort's feature space.
+
+    Implements the `cross_cancer_pretrain` / `pretrain_datasets` config
+    keys the reference declares but never reads (reference
+    config.yaml:77-78, SURVEY §5 "declared-but-unused keys"). Each
+    dataset's matrices are column-reindexed onto the primary gene /
+    pathway / condition lists (absent features filled with 0), pathway
+    scores and survival are z-scored within each cohort, and the cohorts
+    are concatenated into one pretraining array set. Returns None when
+    the feature is off or no dataset is usable.
+    """
+    aug = config.training.augmentation
+    if not (aug.cross_cancer_pretrain and aug.pretrain_datasets):
+        return None
+
+    datas, conds, survs, ids = [], [], [], []
+    for entry in aug.pretrain_datasets:
+        d = resolve_pretrain_dir(entry, config)
+        needed = [
+            d / "mutation_matrix_aligned.csv",
+            d / "expression_matrix_aligned.csv",
+            d / "clinical_aligned.csv",
+        ]
+        if not all(f.exists() for f in needed):
+            logger.warning(
+                "Pretrain dataset %s: processed artifacts missing under %s "
+                "— skipping (run download/preprocess for it first)",
+                entry, d,
+            )
+            continue
+        mut = pd.read_csv(needed[0], index_col=0).reindex(
+            columns=primary.mutation_genes, fill_value=0.0
+        )
+        expr = pd.read_csv(needed[1], index_col=0).reindex(
+            columns=primary.expression_genes, fill_value=0.0
+        )
+        clin = pd.read_csv(needed[2])
+
+        path_file = d / "pathway_scores.csv"
+        if path_file.exists():
+            path = pd.read_csv(path_file, index_col=0)
+        else:
+            eng = PathwayFeatures(config.data.pathway_database)
+            eng.load_gene_sets()
+            path = eng.compute_pathway_scores_from_expression(expr)
+        path = path.reindex(columns=primary.pathway_names, fill_value=0.0)
+        path = (path - path.mean()) / (path.std() + 1e-8)
+
+        surv_mean = float(clin["survival_days"].mean())
+        surv_std = float(clin["survival_days"].std() + 1e-8)
+        clin["survival_days_norm"] = (
+            clin["survival_days"] - surv_mean
+        ) / surv_std
+        for col in primary.condition_names:
+            if col not in clin.columns:
+                clin[col] = 0.0
+
+        arrays = build_arrays(
+            mut, expr, path, clin, list(primary.condition_names),
+            survival_mean=surv_mean, survival_std=surv_std,
+        )
+        if arrays.n_samples == 0:
+            logger.warning("Pretrain dataset %s: no aligned samples", entry)
+            continue
+        datas.append(arrays.data)
+        conds.append(arrays.conditions)
+        survs.append(arrays.survival)
+        ids.extend(f"{entry}:{s}" for s in arrays.sample_ids)
+        logger.info("Pretrain dataset %s: %d samples", entry, arrays.n_samples)
+
+    if not datas:
+        return None
+    pooled_surv = np.concatenate(survs)
+    return OsteosarcomaArrays(
+        data=np.concatenate(datas, axis=0),
+        conditions=np.concatenate(conds, axis=0),
+        survival=pooled_surv,
+        sample_ids=ids,
+        mutation_genes=list(primary.mutation_genes),
+        expression_genes=list(primary.expression_genes),
+        pathway_names=list(primary.pathway_names),
+        condition_names=list(primary.condition_names),
+        survival_mean=float(pooled_surv.mean()),
+        survival_std=float(pooled_surv.std() + 1e-8),
+    )
+
+
 def prepare_arrays(config: Config) -> Tuple[OsteosarcomaArrays, FrozenDims]:
     """Load processed CSVs and build model-ready arrays + frozen dims.
 
@@ -253,10 +353,20 @@ def make_dummy_data(
         mut_values = mut_values.astype(np.float32)
         gi = {g: k for k, g in enumerate(mut_genes)}
         # TP53 common driver; MDM2 rare and near-exclusive with TP53.
-        mut_values[:, gi["TP53"]] = (rng.random(n_samples) < 0.6).astype(np.float32)
-        mdm2 = (rng.random(n_samples) < 0.15) & (mut_values[:, gi["TP53"]] < 0.5)
-        mut_values[:, gi["MDM2"]] = mdm2.astype(np.float32)
-        mut_values[:, gi["MYC"]] = (rng.random(n_samples) < 0.35).astype(np.float32)
+        # Tiny fixtures may truncate the driver list — guard each gene.
+        if "TP53" in gi:
+            mut_values[:, gi["TP53"]] = (
+                rng.random(n_samples) < 0.6
+            ).astype(np.float32)
+            if "MDM2" in gi:
+                mdm2 = (rng.random(n_samples) < 0.15) & (
+                    mut_values[:, gi["TP53"]] < 0.5
+                )
+                mut_values[:, gi["MDM2"]] = mdm2.astype(np.float32)
+        if "MYC" in gi:
+            mut_values[:, gi["MYC"]] = (
+                rng.random(n_samples) < 0.35
+            ).astype(np.float32)
     else:
         mut_values = rng.integers(
             0, 2, size=(n_samples, len(mut_genes))

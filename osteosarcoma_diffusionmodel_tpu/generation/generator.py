@@ -65,8 +65,10 @@ class SyntheticPatientGenerator:
         # jit cache keyed by (sampler kind, guidance, steps): scenarios
         # share one compiled program instead of re-tracing per call.
         self._sample_fns = {}
-        # Fitted mutation copula (freq, corr), cached across scenarios.
+        # Fitted mutation copula (freq, corr) and continuous-block
+        # Cholesky, cached across scenarios.
         self._copula = None
+        self._cont_chol = None
 
     # ------------------------------------------------------------------
     def create_conditions(
@@ -190,7 +192,7 @@ class SyntheticPatientGenerator:
         m, e = self.dims.mutation_dim, self.dims.expression_dim
         mode = self.config.generation.calibrate_marginals
         if mode is True:
-            mode = "copula"
+            mode = "copula_full"
         calibrate = bool(mode) and self.data_stats is not None and num_samples > 1
         if calibrate:
             mutations, continuous = self._calibrate(samples, m, str(mode))
@@ -220,19 +222,24 @@ class SyntheticPatientGenerator:
           mutation frequency matches the real frequency (a monotone
           transform of the raw scores, replacing the fixed 0.5 cut)
         Continuous features:
+        - "copula_full": the real cohort's latent-Gaussian (rank)
+          correlation is transplanted onto the continuous block before
+          quantile mapping, so within-pathway co-expression and
+          cross-feature structure match the data (ops/copula.py
+          fit_continuous_copula_chol / gaussian_transplant)
         - "copula"/"quantile": full empirical quantile mapping — each
           synthetic value is replaced by the real quantile at its
           within-cohort rank (marginals match exactly, rank-based
           dependence preserved)
         - "moment": per-feature mean/std matching — corrects the
           variance shrinkage a mean-seeking denoiser induces
-        All are per-feature monotone maps except the copula mutation
-        block, which deliberately reshapes the pairwise joint.
+        All are per-feature monotone maps except the copula blocks,
+        which deliberately reshape the joint.
         """
         stats = self.data_stats
         raw_mut = samples[:, :m]
         if (
-            mode == "copula"
+            mode in ("copula", "copula_full")
             and "mutation_matrix" in stats
             and raw_mut.shape[0] > 2
             and m > 1
@@ -253,7 +260,25 @@ class SyntheticPatientGenerator:
             mutations = (raw_mut > thresholds[None, :]).astype(np.float32)
 
         cont = samples[:, m:]
-        if mode in ("quantile", "copula") and "feature_sorted" in stats:
+        if (
+            mode == "copula_full"
+            and "data_matrix" in stats
+            and cont.shape[0] > 2
+            and cont.shape[1] > 1
+        ):
+            # Rank source becomes the recolored Gaussian: the quantile
+            # map below then imprints the real joint, not just marginals.
+            from ..ops.copula import (
+                fit_continuous_copula_chol,
+                gaussian_transplant,
+            )
+
+            if self._cont_chol is None:
+                self._cont_chol = fit_continuous_copula_chol(
+                    np.asarray(stats["data_matrix"])[:, m:]
+                )
+            cont = gaussian_transplant(cont, self._cont_chol)
+        if mode in ("quantile", "copula", "copula_full") and "feature_sorted" in stats:
             sorted_real = np.asarray(
                 stats["feature_sorted"], np.float32
             )[:, m:]  # (n_real, D_cont), per-feature quantile function

@@ -250,3 +250,53 @@ def copula_calibrate_mutations(
     it onto the generated mutation scores."""
     freq, corr = fit_binary_copula(real_binary)
     return correlation_transplant(raw_scores, corr, freq)
+
+
+# ----------------------------------------------------------------------
+# Continuous-block Gaussian copula (round-2 "copula_full" mode)
+# ----------------------------------------------------------------------
+def fit_continuous_copula_chol(
+    real_cont: np.ndarray, shrink: float = 0.05
+) -> np.ndarray:
+    """Cholesky factor of the real continuous block's latent-Gaussian
+    correlation.
+
+    The normal-scores (van der Waerden) correlation is a Gram matrix —
+    PSD by construction even at n << D (n=100, D~5080) — so a small
+    identity shrink makes it PD with no eigendecomposition:
+        C = (1-shrink) * U^T U / n + shrink * I
+    Returns chol(C) as float32, (D, D).
+    """
+    u = _normal_scores(np.asarray(real_cont, np.float32)).astype(np.float32)
+    u /= np.maximum(u.std(axis=0, keepdims=True), 1e-9)
+    n, d = u.shape
+    gram = (u.T @ u) / n
+    c = (1.0 - shrink) * gram + shrink * np.eye(d, dtype=np.float32)
+    return np.linalg.cholesky(c.astype(np.float64)).astype(np.float32)
+
+
+def gaussian_transplant(
+    scores: np.ndarray, target_chol: np.ndarray, ridge: float = 0.05
+) -> np.ndarray:
+    """Impose a target latent correlation on continuous scores.
+
+    Rank -> normal scores, whiten by the cohort's own (ridge-shrunk,
+    PSD-by-construction) normal-scores correlation, recolor with the
+    target Cholesky. Returns the recolored Gaussian z, (N, D); callers
+    quantile-map its per-column ranks onto the real marginals.
+    """
+    from scipy.linalg import solve_triangular
+
+    scores = np.asarray(scores, np.float32)
+    n, d = scores.shape
+    u = _normal_scores(scores).astype(np.float32)
+    u /= np.maximum(u.std(axis=0, keepdims=True), 1e-9)
+
+    # The ridge keeps the Gram PD even when n < d (per-scenario cohorts
+    # can be smaller than the feature dim), so whitening always applies.
+    gram = (u.T @ u) / n
+    c = (1.0 - ridge) * gram + ridge * np.eye(d, dtype=np.float32)
+    l_emp = np.linalg.cholesky(c.astype(np.float64)).astype(np.float32)
+    w = solve_triangular(l_emp, u.T, lower=True).T.astype(np.float32)
+    w /= np.maximum(w.std(axis=0, keepdims=True), 1e-9)
+    return (w @ target_chol.T).astype(np.float32)

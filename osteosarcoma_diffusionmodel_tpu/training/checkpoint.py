@@ -51,6 +51,10 @@ def save_data_stats(save_dir: Path, arrays) -> None:
         # calibration fits its tetrachoric correlation at generation
         # time (ops/copula.py).
         mutation_matrix=arrays.data[:, :m],
+        # Full real cohort (n x D, ~2 MB at production dims): the
+        # "copula_full" calibration fits the continuous block's
+        # latent-Gaussian correlation from it.
+        data_matrix=arrays.data,
     )
 
 

@@ -29,12 +29,22 @@ REPO = Path(__file__).resolve().parent.parent
 M, E, P, C = 62, 5054, 26, 3
 
 
+def _force(out):
+    """Force completion with a scalar readback — on the tunneled TPU
+    backend block_until_ready alone can return before execution."""
+    jax.block_until_ready(out)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel") and leaf.size:
+            float(leaf.ravel()[0])
+            break
+
+
 def timeit(fn, *args, n=3):
-    jax.block_until_ready(fn(*args))
+    _force(fn(*args))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
@@ -94,11 +104,23 @@ def main():
     results["train_samples_per_sec_b256"] = 256 / dtb
 
     # Sampler variants.
-    for batch_s in (1024, 8192):
+    for batch_s in (1024, 4096, 8192):
         cond_s = jnp.zeros((batch_s, C))
         f = jax.jit(lambda p, c, k: model.sample(p, c, k))
         dt = timeit(f, params, cond_s, jax.random.PRNGKey(3), n=2)
         results[f"ddpm1000_patients_per_sec_b{batch_s}"] = batch_s / dt
+
+    # Round-1 sampler numerics (f32 carry + gaussian transition noise)
+    # for the ablation record.
+    import dataclasses
+
+    model_r1 = dataclasses.replace(
+        model, sample_dtype="float32", noise_type="normal"
+    )
+    cond_s = jnp.zeros((4096, C))
+    f_r1 = jax.jit(lambda p, c, k: model_r1.sample(p, c, k))
+    dt = timeit(f_r1, params, cond_s, jax.random.PRNGKey(3), n=2)
+    results["ddpm1000_patients_per_sec_b4096_f32_gaussian"] = 4096 / dt
     cond_s = jnp.zeros((1024, C))
     fd = jax.jit(lambda p, c, k: model.sample_ddim(p, c, k, 50))
     dt = timeit(fd, params, cond_s, jax.random.PRNGKey(3), n=2)

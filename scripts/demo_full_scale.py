@@ -50,8 +50,15 @@ def main():
 
     cfg = Config()
     cfg.data.processed_dir = str(workdir / "processed")
-    cfg.training.num_epochs = int(__import__("os").environ.get("DEMO_EPOCHS", 200))
-    cfg.training.patience = int(__import__("os").environ.get("DEMO_EPOCHS", 200))
+    cfg.training.num_epochs = int(os.environ.get("DEMO_EPOCHS", 200))
+    cfg.training.patience = int(os.environ.get("DEMO_EPOCHS", 200))
+    if "DEMO_CALIBRATE" in os.environ:  # copula_full | copula | quantile | false
+        v = os.environ["DEMO_CALIBRATE"]
+        cfg.generation.calibrate_marginals = False if v == "false" else v
+    if "DEMO_PARAM" in os.environ:  # x0 | epsilon | v
+        cfg.model.diffusion.parameterization = os.environ["DEMO_PARAM"]
+    if os.environ.get("DEMO_LEARN_SIGMA"):
+        cfg.model.diffusion.learn_sigma = True
     cfg.training.save_dir = str(workdir / "ckpt")
     cfg.generation.num_synthetic_samples = 10002
     cfg.output.results_dir = str(workdir / "results")

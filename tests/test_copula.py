@@ -129,3 +129,103 @@ def test_transplant_small_cohort_fallback():
     synth = correlation_transplant(raw, corr, freq)
     assert synth.shape == (10, 30)
     assert np.isfinite(synth).all()
+
+
+def test_continuous_copula_reproduces_group_structure():
+    """copula_full machinery: within-group correlations of the real
+    cohort survive transplant + are imprinted on structureless scores."""
+    from osteosarcoma_diffusionmodel_tpu.ops.copula import (
+        fit_continuous_copula_chol,
+        gaussian_transplant,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d, k = 100, 120, 4
+    load = rng.normal(size=(d, k)) * (rng.random((d, k)) < 0.3)
+    real = (rng.normal(size=(n, k)) @ load.T + rng.normal(size=(n, d))).astype(
+        np.float32
+    )
+    chol = fit_continuous_copula_chol(real)
+    synth = rng.normal(size=(2000, d)).astype(np.float32)
+    z = gaussian_transplant(synth, chol)
+    assert z.shape == (2000, d) and np.isfinite(z).all()
+
+    def group_corrs(x):
+        out = []
+        for j in range(k):
+            idx = np.where(np.abs(load[:, j]) > 0)[0][:12]
+            c = np.corrcoef(x[:, idx], rowvar=False)
+            out.append(c[np.triu_indices(len(idx), 1)].mean())
+        return np.asarray(out)
+
+    r = np.corrcoef(group_corrs(real), group_corrs(z))[0, 1]
+    assert r > 0.9, f"group-structure correlation {r}"
+
+
+def test_continuous_copula_small_cohort_does_not_crash():
+    from osteosarcoma_diffusionmodel_tpu.ops.copula import (
+        fit_continuous_copula_chol,
+        gaussian_transplant,
+    )
+
+    rng = np.random.default_rng(6)
+    real = rng.normal(size=(50, 80)).astype(np.float32)  # n < d
+    chol = fit_continuous_copula_chol(real)
+    z = gaussian_transplant(rng.normal(size=(10, 80)).astype(np.float32), chol)
+    assert z.shape == (10, 80) and np.isfinite(z).all()
+
+
+def test_generator_copula_full_mode(tmp_path):
+    """End-to-end: copula_full through the generator on a tiny model."""
+    import jax
+
+    from osteosarcoma_diffusionmodel_tpu.config import Config
+    from osteosarcoma_diffusionmodel_tpu.generation.generator import (
+        SyntheticPatientGenerator,
+    )
+    from osteosarcoma_diffusionmodel_tpu.models.diffusion import (
+        ConditionalDiffusion,
+    )
+
+    rng = np.random.default_rng(7)
+    m_dim, e_dim, p_dim = 6, 20, 4
+    cfg = Config()
+    cfg.model.hidden_dims = [32, 64, 32]
+    cfg.model.latent_dim = 16
+    cfg.model.diffusion.num_steps = 6
+    cfg.model.compute_dtype = "float32"
+    cfg.model.constraints.enabled = False
+    cfg.generation.calibrate_marginals = "copula_full"
+    dims = cfg.freeze_dims(m_dim, e_dim, p_dim, ["a", "b", "c"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+
+    data = np.concatenate(
+        [
+            (rng.random((60, m_dim)) < 0.4).astype(np.float32),
+            rng.normal(size=(60, e_dim + p_dim)).astype(np.float32),
+        ],
+        axis=1,
+    )
+    stats = {
+        "mutation_freq": data[:, :m_dim].mean(0),
+        "feature_mean": data.mean(0),
+        "feature_std": data.std(0),
+        "feature_sorted": np.sort(data, 0),
+        "mutation_matrix": data[:, :m_dim],
+        "data_matrix": data,
+    }
+    gen = SyntheticPatientGenerator(model, params, cfg, dims, data_stats=stats)
+    out = gen.generate(40, {"survival_time": 500})
+    assert out["mutations"].shape == (40, m_dim)
+    assert set(np.unique(out["mutations"])) <= {0.0, 1.0}
+    # Marginal counts match real frequencies exactly (copula threshold).
+    np.testing.assert_allclose(
+        out["mutations"].mean(0),
+        np.round(stats["mutation_freq"] * 40) / 40,
+        atol=1e-6,
+    )
+    # Continuous values live on the real quantile grid.
+    assert np.isfinite(out["expression"]).all()
+    assert out["expression"].min() >= data[:, m_dim:m_dim + e_dim].min() - 1e-5
+    assert out["expression"].max() <= data[:, m_dim:m_dim + e_dim].max() + 1e-5

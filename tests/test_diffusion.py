@@ -26,9 +26,13 @@ def small_config(num_steps=20, compute_dtype="float32",
     cfg.model.diffusion.num_steps = num_steps
     cfg.model.compute_dtype = compute_dtype
     cfg.model.constraints.enabled = False
-    # Reference-parity mode for the algebra tests below.
+    # Reference-parity mode for the algebra tests below: textbook
+    # gaussian transition noise + f32 carry (the round-2 generation
+    # defaults are uniform/bfloat16 perf variants).
     cfg.model.diffusion.parameterization = parameterization
     cfg.model.diffusion.clip_denoised = False
+    cfg.generation.noise_type = "normal"
+    cfg.generation.sample_dtype = "float32"
     return cfg
 
 
