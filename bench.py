@@ -29,10 +29,12 @@ REPO = Path(__file__).resolve().parent
 
 MUTATION_DIM, EXPRESSION_DIM, PATHWAY_DIM, CONDITION_DIM = 62, 5054, 26, 3
 NUM_STEPS = 1000
-# Measured optimum on v5e with the bf16-carry + uniform-transition-noise
-# sampler (round-2 sweep: 2048 -> 9.7k, 3072 -> 10.3k, 4096 -> 10.5k
-# patients/sec; the round-1 f32+gaussian sampler peaked at 2048 -> 6.1k).
-BATCH = 4096
+# Measured optimum on v5e for the fused Pallas sampler (round-2 sweep:
+# 4096 -> 10.7k, 8192 -> 11.6k, 16384 -> 12.1k patients/sec at
+# tile_b=512; the round-1 f32+gaussian lax.scan sampler peaked at
+# 2048 -> 6.1k). Falls back to the scan sampler when the fused kernel
+# doesn't support the config.
+BATCH = 16384
 
 
 def reference_baseline() -> float:
@@ -60,7 +62,15 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
 
     conditions = jnp.zeros((BATCH, CONDITION_DIM), jnp.float32)
-    sample = jax.jit(lambda p, c, k: model.sample(p, c, k))
+    from osteosarcoma_diffusionmodel_tpu.ops.fused_sampler import (
+        maybe_fused_sampler,
+    )
+
+    fused = maybe_fused_sampler(model, params)
+    if fused is not None:
+        sample = lambda p, c, k: fused.sample(c, k)  # noqa: E731
+    else:
+        sample = jax.jit(lambda p, c, k: model.sample(p, c, k))
 
     # Compile + warm-up. A scalar readback forces completion — on the
     # tunneled backend block_until_ready alone can return early.

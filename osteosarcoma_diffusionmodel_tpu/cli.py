@@ -215,13 +215,17 @@ def generate_synthetic_patients(config: Config):
     if updated.exists():
         # Prefer the train-time config for model/data consistency
         # (reference main.py:199-202) but keep the invoking config's
-        # generation/output sections — otherwise generation-time flags
-        # (sampler, calibrate_marginals, scenarios...) are silently
-        # overridden by whatever was set when `train` ran.
+        # generation/output/training sections — otherwise
+        # generation-time flags (sampler, calibrate_marginals,
+        # scenarios...) and the checkpoint location are silently
+        # overridden by whatever was set when `train` last ran. (The
+        # model section is additionally re-pinned from the checkpoint's
+        # own metadata inside load_trained_model.)
         invoking = config
         config = Config.from_yaml(updated)
         config.generation = invoking.generation
         config.output = invoking.output
+        config.training = invoking.training
 
     model, params, batch_stats, config, dims = load_trained_model(
         Path(config.training.save_dir), config

@@ -245,6 +245,12 @@ class GenerationConfig:
     # CLT-indistinguishable (validated end to end: overall biological
     # score unchanged). "normal" for textbook DDPM noise.
     noise_type: str = "uniform"
+    # Fully-fused Pallas DDPM sampler (ops/fused_sampler.py): the whole
+    # reverse loop in one kernel, x + weights VMEM-resident. Engages
+    # automatically for supported configs on >=4096-sample single-chip
+    # cohorts (measured crossover vs the scan path); false forces the
+    # lax.scan sampler everywhere.
+    fused_sampler: bool = True
     # Calibration of generated cohorts against the training cohort:
     #   "copula_full" — mutations: latent-Gaussian (tetrachoric) copula
     #                fitted on the real cohort and transplanted onto the

@@ -69,6 +69,9 @@ class SyntheticPatientGenerator:
         # Cholesky, cached across scenarios.
         self._copula = None
         self._cont_chol = None
+        # Fused Pallas sampler (ops/fused_sampler.py), built lazily;
+        # False = probed and unsupported.
+        self._fused = None
 
     # ------------------------------------------------------------------
     def create_conditions(
@@ -162,6 +165,30 @@ class SyntheticPatientGenerator:
                     )
                 )
         else:
+            # Fused whole-loop Pallas kernel for large single-chip
+            # cohorts (measured crossover vs the scan path ~4k; the
+            # kernel keeps x + all weights VMEM-resident across the
+            # full reverse loop). Mesh-sharded and CFG cohorts use the
+            # scan path.
+            if (
+                gen.fused_sampler
+                and guidance == 1.0
+                and self.mesh is None
+                and conditions.shape[0] >= 4096
+            ):
+                if self._fused is None:
+                    from ..ops.fused_sampler import maybe_fused_sampler
+
+                    self._fused = (
+                        maybe_fused_sampler(self.model, params) or False
+                    )
+                    logger.info(
+                        "Fused Pallas sampler: %s",
+                        "engaged" if self._fused else
+                        "unsupported config, using scan sampler",
+                    )
+                if self._fused is not False:
+                    return self._fused.sample(conditions, rng)
             key = ("ddpm", guidance)
             if key not in self._sample_fns:
                 g = guidance
@@ -398,8 +425,16 @@ def load_trained_model(
             f"No metadata.json in {checkpoint_dir}; cannot self-configure"
         )
     dims = metadata_to_dims(meta)
+    meta_config = Config.from_dict(meta["config"])
     if config is None:
-        config = Config.from_dict(meta["config"])
+        config = meta_config
+    else:
+        # The architecture is authoritative from the checkpoint: the
+        # restored weights were trained with it, and any drifted yaml
+        # (e.g. a stale config_updated.yaml from a later experiment)
+        # would rebuild a mismatched model. Generation/output/eval
+        # sections stay with the invoking config.
+        config.model = meta_config.model
 
     model = build_model(config, dims)
     manager = CheckpointManager(checkpoint_dir)

@@ -1,0 +1,434 @@
+"""Fully-fused Pallas DDPM sampler: the entire T-step reverse loop in
+one kernel with everything VMEM-resident.
+
+Why: the scan-compiled sampler (models/diffusion.py) is
+HBM-bandwidth-bound — each of the 1000 steps re-reads and re-writes the
+(B, 5142) state and re-streams the denoiser weights from HBM. Measured
+step anatomy at batch 2048 (BASELINE.md): denoiser 0.181 s + noise
+0.174 s ≈ full 0.335 s. This kernel tiles the batch into grid cells of
+``TILE_B`` rows and, per cell, loads the x-tile and ALL denoiser
+weights into VMEM once, then runs the full reverse loop with a
+`jax.lax.fori_loop` — per-step HBM traffic drops to zero (weights
+~8 MB bf16 + x tile ~1.3 MB fit comfortably in VMEM), transition noise
+comes from the on-chip PRNG, and the posterior update fuses with the
+denoiser output in registers.
+
+Scope (the flagship inference configuration; callers fall back to the
+scan sampler otherwise — see `supports_fused`):
+- x0 parameterization with input-skip gain (networks.DiffusionDenoiser)
+- deterministic (no dropout), no classifier-free guidance
+- no learned sigma head
+- uniform in-scan transition noise (generation.noise_type: uniform),
+  bfloat16 state
+
+Numerics: matmuls run bf16 with float32 accumulation
+(`preferred_element_type`), GroupNorm statistics in float32 via the
+group-membership matmul identity (mean/var per group = h @ G / g), the
+posterior update in bfloat16 — matching the scan path's bf16-carry mode
+to within bf16 tolerance (tests/test_fused_sampler.py).
+
+Reference counterpart: the Python reverse loop at reference
+models/diffusion.py:446-447 (one denoiser launch per step from the
+host); SURVEY §2 "on-device DDPM loop".
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NUM_GROUPS = 8
+GN_EPS = 1e-6
+_UNIFORM_SCALE = float(2.0 * np.sqrt(3.0))  # U(-sqrt3, sqrt3), unit var
+
+
+def supports_fused(model) -> bool:
+    """The architecture/config slice this kernel implements."""
+    d = model.denoiser
+    return (
+        model.parameterization == "x0"
+        and not model.learn_sigma
+        and d.input_skip
+        and model.noise_type == "uniform"
+        and model.clip_denoised
+        and all(h % NUM_GROUPS == 0 for h in d.hidden_dims)
+        and d.hidden_dims[0] % 128 == 0
+    )
+
+
+# ----------------------------------------------------------------------
+# Host-side precomputation
+# ----------------------------------------------------------------------
+def _sinusoid(t_norm: np.ndarray, dim: int) -> np.ndarray:
+    """TimeEmbedding parity (networks.py TimeEmbedding)."""
+    half = dim // 2
+    freqs = np.exp(np.arange(half) * (-np.log(10000.0) / (half - 1)))
+    args = t_norm[:, None] * freqs[None, :]
+    return np.concatenate([np.sin(args), np.cos(args)], axis=-1).astype(
+        np.float32
+    )
+
+
+def _group_mats(features: int) -> Tuple[np.ndarray, np.ndarray]:
+    """One-hot group-membership matrix G (F, 8) and its transpose."""
+    g = np.zeros((features, NUM_GROUPS), np.float32)
+    size = features // NUM_GROUPS
+    for k in range(NUM_GROUPS):
+        g[k * size : (k + 1) * size, k] = 1.0
+    return g, g.T.copy()
+
+
+def _block_weights(p, in_splits: Sequence[int]) -> List[Any]:
+    """Flatten one DenoiserBlock's params, splitting fc1's kernel rows
+    at `in_splits` boundaries (so the decoder's concat becomes a sum of
+    matmuls instead of an in-kernel concatenate)."""
+    fc1 = np.asarray(p["fc1"]["kernel"], np.float32)
+    parts = []
+    start = 0
+    for s in in_splits:
+        parts.append(jnp.asarray(fc1[start : start + s], jnp.bfloat16))
+        start += s
+    assert start == fc1.shape[0], (start, fc1.shape)
+    return parts + [
+        jnp.asarray(p["fc1"]["bias"], jnp.float32).reshape(1, -1),
+        jnp.asarray(p["norm1"]["scale"], jnp.float32).reshape(1, -1),
+        jnp.asarray(p["norm1"]["bias"], jnp.float32).reshape(1, -1),
+        jnp.asarray(p["fc2"]["kernel"], jnp.bfloat16),
+        jnp.asarray(p["fc2"]["bias"], jnp.float32).reshape(1, -1),
+        jnp.asarray(p["norm2"]["scale"], jnp.float32).reshape(1, -1),
+        jnp.asarray(p["norm2"]["bias"], jnp.float32).reshape(1, -1),
+    ]
+
+
+# ----------------------------------------------------------------------
+# Kernel
+# ----------------------------------------------------------------------
+def _groupnorm(h, g, gt, scale, bias, group_size):
+    """GroupNorm(8) on f32 h via group-membership matmuls."""
+    sums = (
+        jnp.dot(h, g, preferred_element_type=jnp.float32) / group_size
+    )  # (tile, 8) per-group mean
+    sqs = (
+        jnp.dot(h * h, g, preferred_element_type=jnp.float32) / group_size
+    )
+    var = sqs - sums * sums
+    mean_full = jnp.dot(sums, gt, preferred_element_type=jnp.float32)
+    var_full = jnp.dot(var, gt, preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(var_full + GN_EPS)
+    return (h - mean_full) * inv * scale + bias
+
+
+def _build_kernel(layout, T, tile_b, data_dim, clip_value, use_prng):
+    """Build the kernel body. `layout` describes how the flat ref list
+    maps onto layers: a list of ("block", n_in_parts, features) entries
+    plus the group-matrix table. Static Python closure — unrolls to a
+    fixed denoiser structure at trace time."""
+
+    def kernel(*refs):
+        seed_ref, coeff_ref, x_ref, cproj_ref, tadd_ref = refs[:5]
+        idx = 5
+        w_in_ref = refs[idx]; idx += 1
+        block_refs = []
+        for kind, n_parts, _feat in layout["blocks"]:
+            n = n_parts + 7  # parts + fc1_b, s1, b1, fc2_w, fc2_b, s2, b2
+            block_refs.append(refs[idx : idx + n])
+            idx += n
+        w_out_ref, b_out_ref = refs[idx], refs[idx + 1]
+        idx += 2
+        gmat_refs = refs[idx : idx + 2 * len(layout["gn_features"])]
+        idx += 2 * len(layout["gn_features"])
+        noise_ref = refs[idx] if not use_prng else None
+        out_ref = refs[-1]
+
+        gn_table = {}
+        for k, feat in enumerate(layout["gn_features"]):
+            gn_table[feat] = (gmat_refs[2 * k], gmat_refs[2 * k + 1])
+
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+
+        cproj = cproj_ref[:].astype(jnp.float32)
+
+        def run_block(h_parts, refs_for_block, n_parts, features):
+            # h_parts: list of f32 inputs (the decoder's concat operands)
+            acc = None
+            for part, w_ref in zip(h_parts, refs_for_block[:n_parts]):
+                term = jnp.dot(
+                    part.astype(jnp.bfloat16),
+                    w_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                acc = term if acc is None else acc + term
+            (fc1_b, s1, b1, fc2_w, fc2_b, s2, b2) = refs_for_block[n_parts:]
+            g, gt = gn_table[features]
+            h = acc + fc1_b[:]
+            h = _groupnorm(h, g[:], gt[:], s1[:], b1[:],
+                           features // NUM_GROUPS)
+            h = jax.nn.silu(h)
+            h = jnp.dot(
+                h.astype(jnp.bfloat16), fc2_w[:],
+                preferred_element_type=jnp.float32,
+            ) + fc2_b[:]
+            h = _groupnorm(h, g[:], gt[:], s2[:], b2[:],
+                           features // NUM_GROUPS)
+            return jax.nn.silu(h)
+
+        n_enc = layout["n_encoder"]
+
+        def denoise(x_bf16, s):
+            xf = x_bf16.astype(jnp.float32)
+            h = jnp.dot(
+                x_bf16, w_in_ref[:], preferred_element_type=jnp.float32
+            )
+            # Dynamic single-row VMEM loads need 8-aligned indices; a
+            # one-hot matmul row-select is unconstrained and cheap
+            # ((1,T)@(T,H0) per step).
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) == s
+            ).astype(jnp.float32)
+            t_row = jnp.dot(
+                onehot, tadd_ref[:], preferred_element_type=jnp.float32
+            )
+            h = h + t_row + cproj
+
+            skips = []
+            bi = 0
+            for k in range(n_enc):
+                kind, n_parts, feat = layout["blocks"][bi]
+                h = run_block([h], block_refs[bi], n_parts, feat)
+                skips.append(h)
+                bi += 1
+            # Bottleneck.
+            kind, n_parts, feat = layout["blocks"][bi]
+            h = run_block([h], block_refs[bi], n_parts, feat)
+            bi += 1
+            # Decoder: fc1 split into [h | skip] row-parts.
+            while bi < len(layout["blocks"]):
+                if not skips:
+                    break
+                skip = skips.pop()
+                kind, n_parts, feat = layout["blocks"][bi]
+                h = run_block([h, skip], block_refs[bi], n_parts, feat)
+                bi += 1
+
+            out = jnp.dot(
+                h.astype(jnp.bfloat16), w_out_ref[:],
+                preferred_element_type=jnp.float32,
+            ) + b_out_ref[:]
+            gain = coeff_ref[s, 3]
+            out = out + gain * xf
+            return jnp.clip(out, -clip_value, clip_value)
+
+        def body(s, x):
+            x0 = denoise(x, s)
+            if use_prng:
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((tile_b, data_dim)), jnp.uint32
+                )
+                # uint32 -> f32 is unsupported in Mosaic; the top-24-bit
+                # value fits int32 exactly.
+                b24 = pltpu.bitcast(bits >> 8, jnp.int32)
+                u = b24.astype(jnp.float32) * (1.0 / (1 << 24))
+                z = (u - 0.5) * _UNIFORM_SCALE
+            else:
+                z = noise_ref[s].astype(jnp.float32)
+            c0 = coeff_ref[s, 0]
+            c1 = coeff_ref[s, 1]
+            sv = coeff_ref[s, 2]
+            x_new = c0 * x0 + c1 * x.astype(jnp.float32) + sv * z
+            return x_new.astype(jnp.bfloat16)
+
+        out_ref[:] = jax.lax.fori_loop(0, T, body, x_ref[:])
+
+    return kernel
+
+
+# ----------------------------------------------------------------------
+# Entry point
+# ----------------------------------------------------------------------
+class FusedSampler:
+    """Precomputes tables/weight layout once per (model, params) on the
+    host (concrete arrays required — construct OUTSIDE jit), then serves
+    jitted fused sampling calls, cached per padded batch size."""
+
+    def __init__(self, model, params, tile_b: int = 512,
+                 interpret: bool = False):
+        if not supports_fused(model):
+            raise ValueError(
+                "model configuration not supported by the fused sampler; "
+                "use model.sample"
+            )
+        self.model = model
+        self.params = params
+        self.tile_b = tile_b
+        self.interpret = interpret
+        d = model.denoiser
+        self.data_dim = d.data_dim
+        self.hidden = list(d.hidden_dims)
+        sched = model.schedule
+        self.T = sched.num_steps
+
+        # --- per-step tables (reverse-time order, last row = t=0) -----
+        ts = np.arange(self.T - 1, -1, -1)
+        t_norm = ts.astype(np.float64) / self.T
+        sin = _sinusoid(t_norm, d.time_dim)
+        p = jax.tree_util.tree_map(np.asarray, params)
+        t_emb = sin @ p["time_proj"]["kernel"] + p["time_proj"]["bias"]
+        gains = sin @ p["skip_gain"]["kernel"] + p["skip_gain"]["bias"]
+        # f32: consumed via a one-hot matmul row-select in the kernel.
+        self.t_add = jnp.asarray(
+            t_emb + p["input_proj"]["bias"], jnp.float32
+        )
+
+        coef_x0 = np.asarray(sched.posterior_coef_x0)[ts].copy()
+        coef_xt = np.asarray(sched.posterior_coef_xt)[ts].copy()
+        sqrt_var = np.sqrt(np.asarray(sched.posterior_variance)[ts])
+        # Final step (t=0): return clip(x0_pred) — no posterior, no noise.
+        coef_x0[-1], coef_xt[-1], sqrt_var[-1] = 1.0, 0.0, 0.0
+        self.coeffs = jnp.asarray(
+            np.stack(
+                [coef_x0, coef_xt, sqrt_var, gains[:, 0]], axis=1
+            ).astype(np.float32)
+        )  # (T, 4)
+
+        # --- weights, flattened in kernel order -----------------------
+        hidden = self.hidden
+        weights: List[Any] = [
+            jnp.asarray(p["input_proj"]["kernel"], jnp.bfloat16)
+        ]
+        layout = {"n_encoder": len(hidden) - 1, "blocks": []}
+        enc_in = hidden[0]
+        enc_feats = []
+        for i, feat in enumerate(hidden[1:]):
+            weights += _block_weights(p[f"enc_{i}"], [enc_in])
+            layout["blocks"].append(("enc", 1, feat))
+            enc_feats.append(feat)
+            enc_in = feat
+        weights += _block_weights(p["bottleneck"], [enc_in])
+        layout["blocks"].append(("bottleneck", 1, hidden[-1]))
+        dec_in = hidden[-1]
+        for j, i in enumerate(range(len(hidden) - 2, -1, -1)):
+            if not enc_feats:
+                break
+            skip_feat = enc_feats.pop()
+            feat = hidden[i]
+            weights += _block_weights(p[f"dec_{j}"], [dec_in, skip_feat])
+            layout["blocks"].append(("dec", 2, feat))
+            dec_in = feat
+        weights += [
+            jnp.asarray(p["output_proj"]["kernel"], jnp.bfloat16),
+            jnp.asarray(p["output_proj"]["bias"], jnp.float32).reshape(1, -1),
+        ]
+        layout["gn_features"] = sorted({f for _, _, f in layout["blocks"]})
+        gmats: List[Any] = []
+        for feat in layout["gn_features"]:
+            g, gt = _group_mats(feat)
+            gmats += [jnp.asarray(g), jnp.asarray(gt)]
+        self.weights = weights
+        self.gmats = gmats
+        self.layout = layout
+        self._fns = {}
+
+    # ------------------------------------------------------------------
+    def _pallas_fn(self, b_padded: int, use_prng: bool):
+        key = (b_padded, use_prng)
+        if key in self._fns:
+            return self._fns[key]
+        tile_b, D, T = self.tile_b, self.data_dim, self.T
+        kernel = _build_kernel(
+            self.layout, T, tile_b, D,
+            self.model.denoised_clip_value, use_prng,
+        )
+
+        def full_spec(shape, space=pltpu.VMEM):
+            ndim = len(shape)
+            return pl.BlockSpec(
+                shape, lambda i, _n=ndim: (0,) * _n, memory_space=space
+            )
+
+        in_specs = [
+            full_spec((1, 1), pltpu.SMEM),                      # seed
+            full_spec(self.coeffs.shape, pltpu.SMEM),           # coeffs
+            pl.BlockSpec((tile_b, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),              # x_init
+            pl.BlockSpec((tile_b, self.hidden[0]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),              # c_proj
+            full_spec(self.t_add.shape),
+        ]
+        for w in self.weights + self.gmats:
+            in_specs.append(full_spec(w.shape))
+        if not use_prng:
+            in_specs.append(
+                pl.BlockSpec((T, tile_b, D), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+
+        fn = pl.pallas_call(
+            kernel,
+            grid=(b_padded // tile_b,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tile_b, D), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b_padded, D), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=self.interpret,
+        )
+        self._fns[key] = jax.jit(fn)
+        return self._fns[key]
+
+    # ------------------------------------------------------------------
+    def sample(
+        self,
+        conditions: jnp.ndarray,
+        rng: jax.Array,
+        num_samples: Optional[int] = None,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Drop-in equivalent of ConditionalDiffusion.sample for the
+        supported config. `noise`: optional (T, B, D) per-step
+        transition noise for parity tests (replaces the in-kernel
+        PRNG)."""
+        if num_samples is None:
+            num_samples = conditions.shape[0]
+        d = self.model.denoiser
+        D, T, tile_b = self.data_dim, self.T, self.tile_b
+
+        init_rng, seed_rng = jax.random.split(rng)
+        c_proj = d.apply(
+            {"params": self.params}, conditions,
+            method=type(d).embed_conditions,
+        ).astype(jnp.bfloat16)
+        pad_b = -num_samples % tile_b
+        if pad_b:
+            c_proj = jnp.pad(c_proj, ((0, pad_b), (0, 0)))
+        b_padded = num_samples + pad_b
+        x_init = jax.random.normal(init_rng, (b_padded, D), jnp.bfloat16)
+        seed = jax.random.bits(seed_rng, (), jnp.uint32).astype(
+            jnp.int32
+        ).reshape(1, 1)
+
+        args = [seed, self.coeffs, x_init, c_proj, self.t_add]
+        args += self.weights + self.gmats
+        use_prng = noise is None
+        if not use_prng:
+            assert noise.shape == (T, num_samples, D), noise.shape
+            if pad_b:
+                noise = jnp.pad(noise, ((0, 0), (0, pad_b), (0, 0)))
+            args.append(noise.astype(jnp.float32))
+
+        out = self._pallas_fn(b_padded, use_prng)(*args)
+        return out[:num_samples].astype(jnp.float32)
+
+
+def maybe_fused_sampler(model, params, tile_b: int = 512):
+    """FusedSampler when the config is supported, else None."""
+    if not supports_fused(model):
+        return None
+    return FusedSampler(model, params, tile_b=tile_b)

@@ -1,0 +1,148 @@
+"""Fused Pallas sampler vs the scan sampler's algebra
+(ops/fused_sampler.py; SURVEY §2 "on-device DDPM loop").
+
+Parity strategy: inject the per-step transition noise as an input (the
+kernel's on-chip PRNG stream necessarily differs from jax.random) and
+compare against a step-by-step reference loop that calls the REAL Flax
+denoiser with the same bf16 carry discipline. The PRNG path is
+TPU-only (statistical test, gated like the other TPU tests).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osteosarcoma_diffusionmodel_tpu.config import Config
+from osteosarcoma_diffusionmodel_tpu.models.diffusion import ConditionalDiffusion
+from osteosarcoma_diffusionmodel_tpu.ops.fused_sampler import (
+    FusedSampler,
+    supports_fused,
+)
+
+TILE_B = 16  # bf16 sublane minimum
+
+
+def make_model(num_steps=6, hidden=(128, 256, 128), data_dims=(10, 40, 14)):
+    cfg = Config()
+    cfg.model.hidden_dims = list(hidden)
+    cfg.model.latent_dim = 32
+    cfg.model.diffusion.num_steps = num_steps
+    cfg.model.constraints.enabled = False
+    cfg.generation.noise_type = "uniform"
+    cfg.generation.sample_dtype = "bfloat16"
+    dims = cfg.freeze_dims(*data_dims, ["a", "b", "c"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    return model, params, dims
+
+
+def reference_loop(model, params, conditions, rng, noise):
+    """bf16-carry reverse loop using the real Flax denoiser."""
+    sched = model.schedule
+    T = sched.num_steps
+    B = conditions.shape[0]
+    D = model.denoiser.data_dim
+    init_rng, _ = jax.random.split(rng)
+    x = jax.random.normal(init_rng, (B, D), jnp.bfloat16)
+
+    coef_x0 = np.asarray(sched.posterior_coef_x0)
+    coef_xt = np.asarray(sched.posterior_coef_xt)
+    sqrt_var = np.sqrt(np.asarray(sched.posterior_variance))
+    for s, t in enumerate(range(T - 1, -1, -1)):
+        t_vec = jnp.full((B,), t / T, jnp.float32)
+        pred = model.denoiser.apply(
+            {"params": params}, x.astype(jnp.float32), t_vec,
+            conditions=conditions, deterministic=True,
+        )
+        x0 = jnp.clip(pred, -model.denoised_clip_value,
+                      model.denoised_clip_value)
+        if t > 0:
+            x_new = (
+                coef_x0[t] * x0
+                + coef_xt[t] * x.astype(jnp.float32)
+                + sqrt_var[t] * noise[s]
+            )
+            x = x_new.astype(jnp.bfloat16)
+        else:
+            x = x0.astype(jnp.bfloat16)
+    return x.astype(jnp.float32)
+
+
+def test_supports_fused_gates_correctly():
+    model, params, dims = make_model()
+    assert supports_fused(model)
+    assert not supports_fused(
+        dataclasses.replace(model, parameterization="epsilon")
+    )
+    assert not supports_fused(dataclasses.replace(model, learn_sigma=True))
+    assert not supports_fused(dataclasses.replace(model, noise_type="normal"))
+    assert not supports_fused(
+        dataclasses.replace(model, clip_denoised=False)
+    )
+    # Narrow hidden dims (lane misalignment) are rejected.
+    small, sp, _ = make_model(hidden=(64, 128, 64))
+    assert not supports_fused(small)
+
+
+def test_fused_matches_reference_loop_interpret():
+    model, params, dims = make_model()
+    B, T, D = 2 * TILE_B, model.schedule.num_steps, dims.data_dim
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, dims.condition_dim))
+    rng = jax.random.PRNGKey(2)
+    noise = jax.random.normal(jax.random.PRNGKey(3), (T, B, D), jnp.float32)
+
+    sampler = FusedSampler(model, params, tile_b=TILE_B, interpret=True)
+    fused = sampler.sample(cond, rng, noise=noise)
+    ref = reference_loop(model, params, cond, rng, noise)
+
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=0.15, rtol=0.05
+    )
+    # Values must be meaningfully nonzero for the comparison to count.
+    assert float(jnp.std(ref)) > 0.05
+
+
+def test_fused_pads_ragged_batches():
+    model, params, dims = make_model()
+    B = TILE_B + 3  # not a tile multiple
+    T, D = model.schedule.num_steps, dims.data_dim
+    cond = jnp.zeros((B, dims.condition_dim))
+    noise = jnp.zeros((T, B, D), jnp.float32)
+    sampler = FusedSampler(model, params, tile_b=TILE_B, interpret=True)
+    out = sampler.sample(cond, jax.random.PRNGKey(0), noise=noise)
+    assert out.shape == (B, D)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_conditions_have_effect():
+    model, params, dims = make_model()
+    B, T, D = TILE_B, model.schedule.num_steps, dims.data_dim
+    noise = jnp.zeros((T, B, D), jnp.float32)
+    sampler = FusedSampler(model, params, tile_b=TILE_B, interpret=True)
+    a = sampler.sample(jnp.zeros((B, dims.condition_dim)),
+                       jax.random.PRNGKey(0), noise=noise)
+    b = sampler.sample(5.0 * jnp.ones((B, dims.condition_dim)),
+                       jax.random.PRNGKey(0), noise=noise)
+    assert float(jnp.max(jnp.abs(a - b))) > 1e-3
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform not in ("tpu", "axon"),
+    reason="on-chip PRNG path requires TPU",
+)
+def test_fused_prng_statistics_match_scan_sampler():
+    model, params, dims = make_model(num_steps=50)
+    B = 512
+    cond = jnp.zeros((B, dims.condition_dim))
+    sampler = FusedSampler(model, params, tile_b=128)
+    fused = sampler.sample(cond, jax.random.PRNGKey(0))
+    scan = model.sample(params, cond, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(fused).mean(0), np.asarray(scan).mean(0), atol=0.1
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused).std(0), np.asarray(scan).std(0), atol=0.1
+    )
