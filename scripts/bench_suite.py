@@ -110,6 +110,24 @@ def main():
         dt = timeit(f, params, cond_s, jax.random.PRNGKey(3), n=2)
         results[f"ddpm1000_patients_per_sec_b{batch_s}"] = batch_s / dt
 
+    # Fused whole-loop Pallas kernel (the production path for large
+    # single-chip cohorts).
+    from osteosarcoma_diffusionmodel_tpu.ops.fused_sampler import (
+        maybe_fused_sampler,
+    )
+
+    fused = maybe_fused_sampler(model, params)
+    if fused is not None:
+        for batch_s in (4096, 8192, 16384):
+            cond_s = jnp.zeros((batch_s, C))
+            dt = timeit(
+                lambda c, k: fused.sample(c, k),
+                cond_s, jax.random.PRNGKey(3), n=2,
+            )
+            results[f"ddpm1000_fused_patients_per_sec_b{batch_s}"] = (
+                batch_s / dt
+            )
+
     # Round-1 sampler numerics (f32 carry + gaussian transition noise)
     # for the ablation record.
     import dataclasses
