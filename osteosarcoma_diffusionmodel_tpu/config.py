@@ -196,6 +196,10 @@ class CorrelationRule:
 class EvaluationConfig:
     mmd_kernel: str = "rbf"
     ks_test_pathways: bool = True
+    # KS p-value method: "auto" (exact lattice-path DP when
+    # max(n, m) <= 10000, scipy method='exact' switch rule; asymptotic
+    # otherwise) | "exact" | "asymp".
+    ks_mode: str = "auto"
     check_mutation_cooccurrence: bool = True
     check_pathway_coherence: bool = True
     check_driver_mutations: bool = True

@@ -165,16 +165,16 @@ class SyntheticPatientGenerator:
                     )
                 )
         else:
-            # Fused whole-loop Pallas kernel for large single-chip
-            # cohorts (measured crossover vs the scan path ~4k; the
+            # Fused whole-loop Pallas kernel for large cohorts
+            # (measured crossover vs the scan path ~4k/device; the
             # kernel keeps x + all weights VMEM-resident across the
-            # full reverse loop). Mesh-sharded and CFG cohorts use the
-            # scan path.
+            # full reverse loop). Under a mesh it runs shard_map'd over
+            # the `data` axis. CFG cohorts use the scan path.
+            n_data = self.mesh.shape["data"] if self.mesh is not None else 1
             if (
                 gen.fused_sampler
                 and guidance == 1.0
-                and self.mesh is None
-                and conditions.shape[0] >= 4096
+                and conditions.shape[0] >= 4096 * n_data
             ):
                 if self._fused is None:
                     from ..ops.fused_sampler import maybe_fused_sampler
@@ -188,6 +188,10 @@ class SyntheticPatientGenerator:
                         "unsupported config, using scan sampler",
                     )
                 if self._fused is not False:
+                    if self.mesh is not None:
+                        return self._fused.sample_sharded(
+                            self.mesh, conditions, rng
+                        )
                     return self._fused.sample(conditions, rng)
             key = ("ddpm", guidance)
             if key not in self._sample_fns:

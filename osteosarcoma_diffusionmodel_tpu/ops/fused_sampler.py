@@ -427,8 +427,88 @@ class FusedSampler:
         return out[:num_samples].astype(jnp.float32)
 
 
+    # ------------------------------------------------------------------
+    def sample_sharded(
+        self,
+        mesh,
+        conditions: jnp.ndarray,
+        rng: jax.Array,
+        num_samples: Optional[int] = None,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Data-parallel fused sampling: each device of the mesh's
+        `data` axis runs the whole-loop kernel on its cohort shard
+        (shard_map; weights/tables replicated, per-device PRNG seeds).
+        """
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        if num_samples is None:
+            num_samples = conditions.shape[0]
+        d = self.model.denoiser
+        D, T = self.data_dim, self.T
+        n_dev = mesh.shape["data"]
+        chunk = n_dev * self.tile_b
+        pad_b = -num_samples % chunk
+        b_padded = num_samples + pad_b
+        per_dev = b_padded // n_dev
+
+        init_rng, seed_rng = jax.random.split(rng)
+        c_proj = d.apply(
+            {"params": self.params}, conditions,
+            method=type(d).embed_conditions,
+        ).astype(jnp.bfloat16)
+        if pad_b:
+            c_proj = jnp.pad(c_proj, ((0, pad_b), (0, 0)))
+        x_init = jax.random.normal(init_rng, (b_padded, D), jnp.bfloat16)
+        # One independent seed per device (the kernel further folds in
+        # the grid-cell index).
+        seeds = jax.random.bits(seed_rng, (n_dev, 1), jnp.uint32).astype(
+            jnp.int32
+        )
+
+        fn = self._pallas_fn(per_dev, use_prng=noise is None)
+        consts = [self.coeffs, self.t_add] + self.weights + self.gmats
+
+        def per_device(seed, x, c, *rest):
+            if noise is None:
+                coeffs, t_add = rest[0], rest[1]
+                ws = rest[2:]
+                return fn(seed, coeffs, x, c, t_add, *ws)
+            coeffs, t_add = rest[0], rest[1]
+            ws = rest[2:-1]
+            return fn(seed, coeffs, x, c, t_add, *ws, rest[-1])
+
+        in_specs = [P("data", None), P("data", None), P("data", None)]
+        in_specs += [P() for _ in consts]
+        args = [seeds, x_init, c_proj] + consts
+        if noise is not None:
+            assert noise.shape == (T, num_samples, D), noise.shape
+            if pad_b:
+                noise = jnp.pad(noise, ((0, 0), (0, pad_b), (0, 0)))
+            in_specs.append(P(None, "data", None))
+            args.append(noise.astype(jnp.float32))
+
+        sharded = shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=P("data", None),
+            check_rep=False,
+        )
+        out = sharded(*args)
+        return out[:num_samples].astype(jnp.float32)
+
+
 def maybe_fused_sampler(model, params, tile_b: int = 512):
-    """FusedSampler when the config is supported, else None."""
+    """FusedSampler when the config AND backend support it, else None.
+
+    The compiled kernel is Mosaic/TPU-only; on CPU (tests, virtual
+    meshes) callers fall back to the scan sampler (interpret-mode use
+    constructs FusedSampler directly).
+    """
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        return None
     if not supports_fused(model):
         return None
     return FusedSampler(model, params, tile_b=tile_b)

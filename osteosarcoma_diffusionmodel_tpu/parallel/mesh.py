@@ -59,6 +59,11 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} devices are visible"
+            )
         devices = devices[:num_devices]
     n = len(devices)
     if n % model_parallel != 0:

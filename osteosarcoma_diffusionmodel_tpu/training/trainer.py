@@ -165,7 +165,14 @@ class Trainer:
         tc = config.training
         self.mesh = mesh
         if mesh is None and tc.num_devices and tc.num_devices > 1:
-            self.mesh = make_mesh(tc.num_devices)
+            if len(jax.devices()) >= tc.num_devices:
+                self.mesh = make_mesh(tc.num_devices)
+            else:
+                logger.warning(
+                    "training.num_devices=%d but only %d devices visible; "
+                    "training single-device",
+                    tc.num_devices, len(jax.devices()),
+                )
 
         # Optimizer: clip -> AdamW with injectable LR (plateau updates
         # mutate state, never trigger recompiles).

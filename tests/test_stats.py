@@ -129,3 +129,56 @@ def test_group_pairwise_corr_matches_bruteforce(rng):
         corr = np.corrcoef(x[:, genes].T)
         iu = np.triu_indices(len(genes), k=1)
         np.testing.assert_allclose(ours[p], corr[iu].mean(), rtol=1e-3, atol=1e-4)
+
+
+def test_ks_exact_matches_scipy():
+    """Exact two-sample KS p-values (scipy method='exact' parity) —
+    round-1 VERDICT weak #7."""
+    from scipy import stats as sstats
+
+    from osteosarcoma_diffusionmodel_tpu.ops.stats import ks_pvalue_exact
+
+    rng = np.random.default_rng(1)
+    for n, m, shift in [(20, 35, 0.0), (50, 80, 0.5), (100, 999, 0.2),
+                        (17, 300, 1.0)]:
+        x = rng.normal(size=n)
+        y = rng.normal(shift, 1.0, size=m)
+        ref = sstats.ks_2samp(x, y, method="exact")
+        mine = ks_pvalue_exact(np.array([ref.statistic]), n, m)[0]
+        np.testing.assert_allclose(mine, ref.pvalue, rtol=1e-8, atol=1e-12)
+
+
+def test_ks_exact_batched_over_features():
+    from scipy import stats as sstats
+
+    from osteosarcoma_diffusionmodel_tpu.ops.stats import (
+        ks_pvalue_exact,
+        ks_test_features,
+    )
+
+    rng = np.random.default_rng(2)
+    n, m, F = 40, 120, 6
+    x = rng.normal(size=(n, F)).astype(np.float32)
+    y = rng.normal(0.3, 1.0, size=(m, F)).astype(np.float32)
+    stats_b, pvals = ks_test_features(
+        jnp.asarray(x), jnp.asarray(y), mode="exact"
+    )
+    for f in range(F):
+        ref = sstats.ks_2samp(x[:, f], y[:, f], method="exact")
+        np.testing.assert_allclose(float(stats_b[f]), ref.statistic,
+                                   atol=1e-6)
+        np.testing.assert_allclose(float(pvals[f]), ref.pvalue, rtol=1e-5)
+
+
+def test_ks_auto_mode_switches():
+    from osteosarcoma_diffusionmodel_tpu.ops.stats import ks_test_features
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(50, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(0.4, 1, size=(200, 3)).astype(np.float32))
+    _, p_auto = ks_test_features(x, y, mode="auto")
+    _, p_exact = ks_test_features(x, y, mode="exact")
+    _, p_asymp = ks_test_features(x, y, mode="asymp")
+    np.testing.assert_allclose(np.asarray(p_auto), np.asarray(p_exact))
+    # The two methods genuinely differ at these sizes.
+    assert np.abs(np.asarray(p_exact) - np.asarray(p_asymp)).max() > 1e-4
