@@ -95,6 +95,16 @@ class DiffusionConfig:
     # (default) is the reference's unweighted mean — measured to give
     # equal-or-better co-occurrence fidelity at these dims.
     block_loss_weighting: str = "none"  # balanced | none
+    # Discrete (binary D3PM, uniform 2-state chain) head over the
+    # mutation block: the denoiser's mutation outputs become x0 logits
+    # trained with BCE, and sampling draws exact D3PM posterior bits —
+    # mutations exit the model natively binary instead of being
+    # thresholded continuous scores (reference generate.py:135). Shares
+    # the continuous schedule's alphas-cumprod. See ops/discrete.py.
+    discrete_mutation_head: bool = False
+    # Weight of the mutation-block BCE term relative to the continuous
+    # elementwise loss.
+    discrete_ce_weight: float = 1.0
 
 
 @dataclass

@@ -174,6 +174,7 @@ class SyntheticPatientGenerator:
             if (
                 gen.fused_sampler
                 and guidance == 1.0
+                and not self.model.discrete_head
                 and conditions.shape[0] >= 4096 * n_data
             ):
                 if self._fused is None:
@@ -269,7 +270,12 @@ class SyntheticPatientGenerator:
         """
         stats = self.data_stats
         raw_mut = samples[:, :m]
-        if (
+        if getattr(self.model, "discrete_head", False):
+            # The binary D3PM head owns the mutation block: samples are
+            # already exact bits — calibration must not overwrite the
+            # model's joint mutation structure.
+            mutations = (raw_mut > 0.5).astype(np.float32)
+        elif (
             mode in ("copula", "copula_full")
             and "mutation_matrix" in stats
             and raw_mut.shape[0] > 2

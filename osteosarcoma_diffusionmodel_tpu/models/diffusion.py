@@ -28,6 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, FrozenDims
+from ..ops.discrete import (
+    bernoulli_cross_entropy,
+    posterior_prob_one,
+    q_sample_bits,
+)
 from ..ops.schedules import DiffusionSchedule, ddim_timesteps
 from .constraints import ConstraintSpec, constraint_losses
 from .networks import DiffusionDenoiser
@@ -120,6 +125,17 @@ class ConditionalDiffusion:
     # final step's noise shape survives, and that variance is ~0 (and
     # the learned-sigma residual draw stays Gaussian regardless).
     noise_type: str = "normal"  # normal | uniform
+    # Discrete (binary D3PM) head over the first `mutation_dim`
+    # features: the mutation block diffuses through a uniform 2-state
+    # chain sharing the continuous schedule's alphas-cumprod, the
+    # denoiser's mutation outputs are x0 logits (BCE-trained), and the
+    # reverse step draws exact D3PM posterior bits (ops/discrete.py).
+    # The continuous Gaussian chain + 0.5 threshold the reference uses
+    # (generate.py:135) loses the joint mutation structure; this head
+    # makes the mutation block model-owned and natively binary.
+    discrete_head: bool = False
+    mutation_dim: int = 0
+    discrete_ce_weight: float = 1.0
 
     # ------------------------------------------------------------------
     # Construction
@@ -188,6 +204,11 @@ class ConditionalDiffusion:
             feature_loss_weights=feature_weights,
             clip_denoised=mc.diffusion.clip_denoised,
             denoised_clip_value=mc.diffusion.denoised_clip_value,
+            discrete_head=(
+                mc.diffusion.discrete_mutation_head and dims.mutation_dim > 0
+            ),
+            mutation_dim=dims.mutation_dim,
+            discrete_ce_weight=mc.diffusion.discrete_ce_weight,
         )
 
     def init_params(self, rng: jax.Array, condition_dim: int):
@@ -246,13 +267,27 @@ class ConditionalDiffusion:
         """Noise-prediction loss, optionally + biological constraints.
 
         Mirrors the reference training forward (diffusion.py:344-380):
-        t ~ U[0, T), q_sample, predict noise, elementwise loss.
+        t ~ U[0, T), q_sample, predict noise, elementwise loss. With
+        `discrete_head`, the mutation block instead goes through the
+        binary D3PM forward chain and contributes an x0 BCE term.
         """
         batch = x0.shape[0]
-        t_rng, noise_rng, drop_rng, cfg_rng = jax.random.split(rng, 4)
+        M = self.mutation_dim if self.discrete_head else 0
+        # bit_rng appended last: the continuous path's key indices (and
+        # therefore its numerics for a fixed seed) are unchanged.
+        t_rng, noise_rng, drop_rng, cfg_rng, bit_rng = jax.random.split(rng, 5)
         t = jax.random.randint(t_rng, (batch,), 0, self.schedule.num_steps)
-        noise = jax.random.normal(noise_rng, x0.shape, jnp.float32)
-        x_t = self.q_sample(x0, t, noise)
+        mut0 = x0[:, :M]
+        cont0 = x0[:, M:]
+        noise = jax.random.normal(noise_rng, cont0.shape, jnp.float32)
+        cont_t = self.q_sample(cont0, t, noise)
+        if M:
+            mut_t = q_sample_bits(mut0, self.schedule.alphas_cumprod[t], bit_rng)
+            # Bits enter the denoiser as +-1 so the input block is
+            # unit-scale like the Gaussian features.
+            x_t = jnp.concatenate([2.0 * mut_t - 1.0, cont_t], axis=1)
+        else:
+            x_t = cont_t
         t_norm = t.astype(jnp.float32) / self.schedule.num_steps
 
         if self.cfg_dropout_prob > 0:
@@ -273,32 +308,46 @@ class ConditionalDiffusion:
             rngs=None if deterministic else {"dropout": drop_rng},
         )
         pred, logvar = self._split_sigma(pred)
+        mut_logits = pred[:, :M]
+        cont_pred = pred[:, M:] if M else pred
 
         sqrt_acp = self.schedule.sqrt_alphas_cumprod[t][:, None]
         sqrt_om = self.schedule.sqrt_one_minus_alphas_cumprod[t][:, None]
         if self.parameterization == "x0":
-            target = x0
+            target = cont0
         elif self.parameterization == "v":
-            target = sqrt_acp * noise - sqrt_om * x0
+            target = sqrt_acp * noise - sqrt_om * cont0
         else:
             target = noise
-        err = _elementwise_loss(pred, target, self.loss_type)
+        err = _elementwise_loss(cont_pred, target, self.loss_type)
         if self.feature_loss_weights is not None:
-            err = err * jnp.asarray(self.feature_loss_weights)[None, :]
+            err = err * jnp.asarray(self.feature_loss_weights)[None, M:]
         mse = jnp.mean(err)
         metrics = {"diffusion_loss": mse}
         total = mse
+        if M:
+            ce = jnp.mean(bernoulli_cross_entropy(mut_logits, mut0))
+            metrics["mutation_ce"] = ce
+            total = total + self.discrete_ce_weight * ce
 
         x0_pred = None
+        cont_x0_pred = None
         if self.constraint_spec is not None or logvar is not None:
-            x0_pred = self._predict_x0(pred, x_t, sqrt_acp, sqrt_om)
+            cont_x0_pred = self._predict_x0(cont_pred, cont_t, sqrt_acp, sqrt_om)
+            x0_pred = (
+                jnp.concatenate([jax.nn.sigmoid(mut_logits), cont_x0_pred], axis=1)
+                if M
+                else cont_x0_pred
+            )
 
         if logvar is not None:
             # Residual-variance head: Gaussian NLL against the true x0
             # with a stop-gradient mean — trains sigma without biasing
-            # the mean predictor.
-            resid = x0 - jax.lax.stop_gradient(x0_pred)
-            nll = 0.5 * jnp.mean(logvar + resid**2 * jnp.exp(-logvar))
+            # the mean predictor. Continuous block only: the discrete
+            # head owns the mutation dims (no Gaussian residual there).
+            logvar_c = logvar[:, M:]
+            resid = cont0 - jax.lax.stop_gradient(cont_x0_pred)
+            nll = 0.5 * jnp.mean(logvar_c + resid**2 * jnp.exp(-logvar_c))
             metrics["sigma_nll"] = nll
             total = total + self.sigma_loss_weight * nll
 
@@ -383,12 +432,18 @@ class ConditionalDiffusion:
             num_samples = conditions.shape[0]
         sched = self.schedule
         T = sched.num_steps
+        M = self.mutation_dim if self.discrete_head else 0
 
         carry_dtype = jnp.dtype(self.sample_dtype)
-        init_rng, scan_rng, final_rng = jax.random.split(rng, 3)
+        # bit_rng appended last: continuous-path key indices unchanged.
+        init_rng, scan_rng, final_rng, bit_rng = jax.random.split(rng, 4)
         x_t = jax.random.normal(
-            init_rng, (num_samples, self.denoiser.data_dim), carry_dtype
+            init_rng, (num_samples, self.denoiser.data_dim - M), carry_dtype
         )
+        if M:
+            # Binary chain prior at t = T is uniform Bernoulli(1/2).
+            bits = jax.random.bernoulli(bit_rng, 0.5, (num_samples, M))
+            x_t = jnp.concatenate([bits.astype(carry_dtype), x_t], axis=1)
         denoise = self._denoise_fn(params, conditions, guidance_scale)
 
         def predict_x0(x, coeffs, pred):
@@ -429,33 +484,75 @@ class ConditionalDiffusion:
                 scan_rng, max(T - 1, 1), self.sampler_rng_impl
             ),
         }
+        if M:
+            step_coeffs["beta"] = sched.betas[ts]
+            step_coeffs["acp_prev"] = sched.alphas_cumprod[ts - 1]
 
         def body(x, coeffs):
             t_vec = jnp.full((num_samples,), coeffs["t_norm"], jnp.float32)
-            pred, _ = self._split_sigma(denoise(x, t_vec))
-            x0_pred = predict_x0(x, coeffs, pred)
+            if M:
+                xm = x[:, :M]
+                xc = x[:, M:]
+                x_in = jnp.concatenate([2.0 * xm - 1.0, xc], axis=1)
+                noise_key, bit_key = jax.random.split(coeffs["step_key"])
+            else:
+                xm = None
+                xc = x
+                x_in = x
+                noise_key = coeffs["step_key"]
+            pred, _ = self._split_sigma(denoise(x_in, t_vec))
+            mut_logits = pred[:, :M]
+            cont_pred = pred[:, M:] if M else pred
+            x0_pred = predict_x0(xc, coeffs, cont_pred)
             mean = (
                 coeffs["coef_x0"].astype(carry_dtype) * x0_pred
-                + coeffs["coef_xt"].astype(carry_dtype) * x
+                + coeffs["coef_xt"].astype(carry_dtype) * xc
             )
-            z = self._step_noise(coeffs["step_key"], x.shape, carry_dtype)
-            return mean + coeffs["sqrt_var"].astype(carry_dtype) * z, None
+            z = self._step_noise(noise_key, xc.shape, carry_dtype)
+            xc_next = mean + coeffs["sqrt_var"].astype(carry_dtype) * z
+            if not M:
+                return xc_next, None
+            # Exact binary D3PM posterior step for the mutation block.
+            p_prev = posterior_prob_one(
+                xm.astype(jnp.float32),
+                jax.nn.sigmoid(mut_logits.astype(jnp.float32)),
+                coeffs["beta"],
+                coeffs["acp_prev"],
+            )
+            u = jax.random.uniform(bit_key, p_prev.shape)
+            xm_next = (u < p_prev).astype(carry_dtype)
+            return jnp.concatenate([xm_next, xc_next], axis=1), None
 
         x_1, _ = jax.lax.scan(body, x_t, step_coeffs)
 
         # Final step (t = 0): return the denoised prediction, plus the
         # learned per-feature residual noise when the sigma head is on.
+        # Mutation bits draw from the predicted x0 Bernoulli — sampling
+        # (not argmax) preserves per-gene frequencies.
         t_vec = jnp.zeros((num_samples,), jnp.float32)
-        pred, logvar = self._split_sigma(denoise(x_1, t_vec))
+        xm_1 = x_1[:, :M]
+        xc_1 = x_1[:, M:] if M else x_1
+        x_in = (
+            jnp.concatenate([2.0 * xm_1 - 1.0, xc_1], axis=1) if M else x_1
+        )
+        pred, logvar = self._split_sigma(denoise(x_in, t_vec))
+        mut_logits = pred[:, :M]
+        cont_pred = pred[:, M:] if M else pred
         final_coeffs = {
             "sqrt_acp": sched.sqrt_alphas_cumprod[0],
             "inv_sqrt_acp": 1.0 / sched.sqrt_alphas_cumprod[0],
             "sqrt_om_acp": sched.sqrt_one_minus_alphas_cumprod[0],
         }
-        x0 = predict_x0(x_1, final_coeffs, pred).astype(jnp.float32)
+        resid_rng, final_bit_rng = jax.random.split(final_rng)
+        x0 = predict_x0(xc_1, final_coeffs, cont_pred).astype(jnp.float32)
         if logvar is not None:
-            z = jax.random.normal(final_rng, x0.shape, jnp.float32)
-            x0 = x0 + jnp.exp(0.5 * logvar) * z
+            logvar_c = logvar[:, M:] if M else logvar
+            z = jax.random.normal(resid_rng, x0.shape, jnp.float32)
+            x0 = x0 + jnp.exp(0.5 * logvar_c) * z
+        if M:
+            p1 = jax.nn.sigmoid(mut_logits.astype(jnp.float32))
+            bits = jax.random.bernoulli(final_bit_rng, p1).astype(jnp.float32)
+            x0 = jnp.concatenate([bits, x0], axis=1)
         return x0
 
     # ------------------------------------------------------------------
@@ -471,11 +568,18 @@ class ConditionalDiffusion:
         num_samples: Optional[int] = None,
         guidance_scale: float = 1.0,
     ) -> jnp.ndarray:
-        """DDIM reverse process over `num_sampling_steps` strided steps."""
+        """DDIM reverse process over `num_sampling_steps` strided steps.
+
+        With `discrete_head`, the mutation block runs the binary D3PM
+        posterior over the same strided timesteps — the uniform chain
+        composes exactly, so the t -> t_prev jump is a single step with
+        effective flip rate ``beta_eff = 1 - acp_t / acp_prev``.
+        """
         if num_samples is None:
             num_samples = conditions.shape[0]
         sched = self.schedule
         T = sched.num_steps
+        M = self.mutation_dim if self.discrete_head else 0
 
         ts_np = ddim_timesteps(T, num_sampling_steps)[::-1].copy()  # descending
         prev_np = np.concatenate([ts_np[1:], np.array([-1])])
@@ -486,10 +590,13 @@ class ConditionalDiffusion:
             (1 - acp_prev) / (1 - acp_t) * (1 - acp_t / acp_prev)
         )
 
-        init_rng, scan_rng = jax.random.split(rng)
+        init_rng, scan_rng, bit_rng = jax.random.split(rng, 3)
         x_t = jax.random.normal(
-            init_rng, (num_samples, self.denoiser.data_dim), jnp.float32
+            init_rng, (num_samples, self.denoiser.data_dim - M), jnp.float32
         )
+        if M:
+            bits = jax.random.bernoulli(bit_rng, 0.5, (num_samples, M))
+            x_t = jnp.concatenate([bits.astype(jnp.float32), x_t], axis=1)
         denoise = self._denoise_fn(params, conditions, guidance_scale)
 
         n_steps = len(ts_np)
@@ -508,38 +615,68 @@ class ConditionalDiffusion:
             "is_last": jnp.asarray(prev_np < 0, jnp.float32),
             "step_key": derive_step_keys(scan_rng, n_steps, self.sampler_rng_impl),
         }
+        if M:
+            step_coeffs["beta_eff"] = jnp.asarray(
+                1.0 - acp_t / acp_prev, jnp.float32
+            )
+            step_coeffs["acp_prev"] = jnp.asarray(acp_prev, jnp.float32)
 
         def body(x, coeffs):
             t_vec = jnp.full((num_samples,), coeffs["t_norm"], jnp.float32)
-            pred, logvar = self._split_sigma(denoise(x, t_vec))
+            if M:
+                xm = x[:, :M]
+                xc = x[:, M:]
+                x_in = jnp.concatenate([2.0 * xm - 1.0, xc], axis=1)
+                step_key, bit_key = jax.random.split(coeffs["step_key"])
+            else:
+                xm = None
+                xc = x
+                x_in = x
+                step_key = coeffs["step_key"]
+            pred, logvar = self._split_sigma(denoise(x_in, t_vec))
+            mut_logits = pred[:, :M]
+            pred = pred[:, M:] if M else pred
             if self.parameterization == "x0":
                 x0_pred = pred
             elif self.parameterization == "v":
                 x0_pred = (
-                    coeffs["sqrt_acp_t"] * x - coeffs["sqrt_om_acp_t"] * pred
+                    coeffs["sqrt_acp_t"] * xc - coeffs["sqrt_om_acp_t"] * pred
                 )
             else:
-                x0_pred = (x - coeffs["sqrt_om_acp_t"] * pred) / coeffs["sqrt_acp_t"]
+                x0_pred = (xc - coeffs["sqrt_om_acp_t"] * pred) / coeffs["sqrt_acp_t"]
             if self.clip_denoised:
                 x0_pred = jnp.clip(
                     x0_pred, -self.denoised_clip_value, self.denoised_clip_value
                 )
             # Epsilon consistent with the (possibly clipped) x0 prediction.
-            eps = (x - coeffs["sqrt_acp_t"] * x0_pred) / jnp.maximum(
+            eps = (xc - coeffs["sqrt_acp_t"] * x0_pred) / jnp.maximum(
                 coeffs["sqrt_om_acp_t"], 1e-8
             )
-            z = jax.random.normal(coeffs["step_key"], x.shape, jnp.float32)
+            z = jax.random.normal(step_key, xc.shape, jnp.float32)
             x_prev = (
                 coeffs["sqrt_acp_prev"] * x0_pred
                 + coeffs["dir_coef"] * eps
                 + coeffs["sigma"] * z
             )
             if logvar is not None:
-                # Learned residual noise on the final step only.
+                # Learned residual noise on the final step only
+                # (continuous block; the discrete head owns mutations).
                 x_prev = x_prev + (
-                    coeffs["is_last"] * jnp.exp(0.5 * logvar) * z
+                    coeffs["is_last"] * jnp.exp(0.5 * (logvar[:, M:] if M else logvar)) * z
                 )
-            return x_prev, None
+            if not M:
+                return x_prev, None
+            # At the last step acp_prev == 1, so the posterior collapses
+            # to the predicted x0 Bernoulli — bits exit binary.
+            p_prev = posterior_prob_one(
+                xm,
+                jax.nn.sigmoid(mut_logits.astype(jnp.float32)),
+                coeffs["beta_eff"],
+                coeffs["acp_prev"],
+            )
+            u = jax.random.uniform(bit_key, p_prev.shape)
+            xm_prev = (u < p_prev).astype(jnp.float32)
+            return jnp.concatenate([xm_prev, x_prev], axis=1), None
 
         x0, _ = jax.lax.scan(body, x_t, step_coeffs)
         return x0

@@ -53,6 +53,7 @@ def supports_fused(model) -> bool:
     return (
         model.parameterization == "x0"
         and not model.learn_sigma
+        and not model.discrete_head
         and d.input_skip
         and model.noise_type == "uniform"
         and model.clip_denoised

@@ -59,6 +59,8 @@ def main():
         cfg.model.diffusion.parameterization = os.environ["DEMO_PARAM"]
     if os.environ.get("DEMO_LEARN_SIGMA"):
         cfg.model.diffusion.learn_sigma = True
+    if os.environ.get("DEMO_DISCRETE"):  # binary D3PM mutation head
+        cfg.model.diffusion.discrete_mutation_head = True
     cfg.training.save_dir = str(workdir / "ckpt")
     cfg.generation.num_synthetic_samples = 10002
     cfg.output.results_dir = str(workdir / "results")
@@ -85,7 +87,8 @@ def main():
     timings["validate_sec"] = time.perf_counter() - t0
     timings["validation"] = {k: float(v) for k, v in results.items()}
 
-    with open(REPO / "DEMO_FULL_SCALE.json", "w") as f:
+    out = Path(os.environ.get("DEMO_OUT", REPO / "DEMO_FULL_SCALE.json"))
+    with open(out, "w") as f:
         json.dump(timings, f, indent=2)
     print(json.dumps(timings, indent=2))
 
