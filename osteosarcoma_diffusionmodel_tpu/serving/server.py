@@ -73,8 +73,19 @@ class GenerationService:
             "max_seconds": 0.0,
         }
 
-    def warmup(self, batch: int = 64) -> None:
-        self.generate(batch, scenario={"survival_time": 800})
+    def warmup(self, batches=(64,)) -> None:
+        """Pre-compile the sampler for the given batch buckets.
+
+        Each distinct bucket size is a distinct XLA program; compiling
+        them at startup (instead of on the first request that hits the
+        bucket) removes the 20-40 s first-request latency cliff per
+        bucket. Buckets are compiled largest-first so the biggest
+        allocation happens while the heap is emptiest.
+        """
+        if isinstance(batches, int):
+            batches = (batches,)
+        for b in sorted(set(_bucket(int(b)) for b in batches), reverse=True):
+            self.generate(b, scenario={"survival_time": 800})
 
     def generate(
         self, num_samples: int, scenario: Optional[Dict] = None,
@@ -197,12 +208,18 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 8080,
     config: Optional[Config] = None,
-    warmup: bool = True,
+    warmup: bool | tuple | list = True,
 ) -> ThreadingHTTPServer:
-    """Start the service (returns the server; call serve_forever())."""
+    """Start the service (returns the server; call serve_forever()).
+
+    `warmup` may be a list of batch buckets to pre-compile (True means
+    the default 64-bucket). Compilation happens before the socket opens
+    so a load balancer's health check never routes traffic to a server
+    that would stall compiling.
+    """
     service = GenerationService(checkpoint_dir, config)
     if warmup:
-        service.warmup()
+        service.warmup((64,) if warmup is True else warmup)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     server.service = service  # for tests/introspection
     logger.info("Serving on %s:%d", host, port)
@@ -216,8 +233,18 @@ def main(argv=None):
     parser.add_argument("--checkpoint-dir", default="./results/checkpoints")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument(
+        "--warmup-buckets",
+        default="64",
+        help="comma-separated batch buckets to pre-compile at startup "
+        "(e.g. '64,1024,16384'); empty string skips warmup",
+    )
     args = parser.parse_args(argv)
-    server = serve(args.checkpoint_dir, args.host, args.port)
+    buckets = [int(b) for b in args.warmup_buckets.split(",") if b.strip()]
+    server = serve(
+        args.checkpoint_dir, args.host, args.port,
+        warmup=buckets or False,
+    )
     server.serve_forever()
 
 

@@ -145,3 +145,37 @@ def test_http_npz_and_caps(trained_checkpoint):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_warmup_buckets(trained_checkpoint):
+    service = GenerationService(trained_checkpoint)
+    # 3 rounds to bucket 4; duplicates and int form both accepted.
+    service.warmup((3, 4, 64))
+    assert service.metrics["requests"] == 2  # buckets {4, 64}
+    service.warmup(2)
+    assert service.metrics["requests"] == 3
+
+
+def test_main_warmup_bucket_parsing():
+    from osteosarcoma_diffusionmodel_tpu.serving import server as srv
+
+    captured = {}
+
+    def fake_serve(ckpt, host, port, warmup):
+        captured["warmup"] = warmup
+
+        class _S:
+            def serve_forever(self):
+                pass
+
+        return _S()
+
+    orig = srv.serve
+    srv.serve = fake_serve
+    try:
+        srv.main(["--warmup-buckets", "64,1024", "--port", "0"])
+        assert captured["warmup"] == [64, 1024]
+        srv.main(["--warmup-buckets", "", "--port", "0"])
+        assert captured["warmup"] is False
+    finally:
+        srv.serve = orig
