@@ -29,12 +29,13 @@ REPO = Path(__file__).resolve().parent
 
 MUTATION_DIM, EXPRESSION_DIM, PATHWAY_DIM, CONDITION_DIM = 62, 5054, 26, 3
 NUM_STEPS = 1000
-# Measured optimum on v5e for the fused Pallas sampler (round-2 sweep:
-# 4096 -> 10.7k, 8192 -> 11.6k, 16384 -> 12.1k patients/sec at
-# tile_b=512; the round-1 f32+gaussian lax.scan sampler peaked at
-# 2048 -> 6.1k). Falls back to the scan sampler when the fused kernel
-# doesn't support the config.
-BATCH = 16384
+# Measured optimum on v5e for the fused Pallas sampler (round-2 sweeps:
+# 4096 -> 10.7k, 8192 -> 11.6k, 16384 -> 12.0k, 32768 -> 12.3k
+# patients/sec at tile_b=512; tile_b in {256, 512, 1024} within noise —
+# the kernel is compute-bound at ~80% of the bf16 roofline. The round-1
+# f32+gaussian lax.scan sampler peaked at 2048 -> 6.1k. Falls back to
+# the scan sampler when the fused kernel doesn't support the config.
+BATCH = 32768
 
 
 def reference_baseline() -> float:

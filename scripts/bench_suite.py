@@ -118,7 +118,7 @@ def main():
 
     fused = maybe_fused_sampler(model, params)
     if fused is not None:
-        for batch_s in (4096, 8192, 16384):
+        for batch_s in (4096, 8192, 16384, 32768):
             cond_s = jnp.zeros((batch_s, C))
             dt = timeit(
                 lambda c, k: fused.sample(c, k),
@@ -127,6 +127,15 @@ def main():
             results[f"ddpm1000_fused_patients_per_sec_b{batch_s}"] = (
                 batch_s / dt
             )
+
+    # Binary D3PM mutation head (scan sampler; bits drawn in-scan).
+    import dataclasses as _dc
+
+    model_disc = _dc.replace(model, discrete_head=True, mutation_dim=M)
+    cond_s = jnp.zeros((4096, C))
+    f_disc = jax.jit(lambda p, c, k: model_disc.sample(p, c, k))
+    dt = timeit(f_disc, params, cond_s, jax.random.PRNGKey(3), n=2)
+    results["ddpm1000_discrete_head_patients_per_sec_b4096"] = 4096 / dt
 
     # Round-1 sampler numerics (f32 carry + gaussian transition noise)
     # for the ablation record.

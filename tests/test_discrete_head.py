@@ -300,3 +300,17 @@ def test_trained_discrete_head_beats_thresholding_on_cooccurrence():
         score_discrete,
         score_continuous,
     )
+
+
+def test_config_roundtrip_preserves_discrete_flag(tmp_path):
+    cfg = Config()
+    cfg.model.diffusion.discrete_mutation_head = True
+    cfg.model.diffusion.discrete_ce_weight = 2.5
+    cfg.to_yaml(tmp_path / "c.yaml")
+    back = Config.from_yaml(tmp_path / "c.yaml")
+    assert back.model.diffusion.discrete_mutation_head is True
+    assert back.model.diffusion.discrete_ce_weight == 2.5
+    # Checkpoint metadata path: from_dict over to_dict (what
+    # load_trained_model does with metadata["config"]).
+    again = Config.from_dict(cfg.to_dict())
+    assert again.model.diffusion.discrete_mutation_head is True
