@@ -29,6 +29,7 @@ from __future__ import annotations
 import logging
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -36,16 +37,34 @@ import pandas as pd
 from ..config import Config
 from ..ops.stats import (
     chi2_binary_pairs,
-    columnwise_corr,
     ks_test_features,
     mean_pairwise_corr_within_groups,
     mmd_rbf,
     pca_project,
     pearson_corr,
-    wasserstein_1d,
+    wasserstein_columns,
 )
 
 logger = logging.getLogger(__name__)
+
+
+@jax.jit
+def _freq_stats(real, synth, didx):
+    """Frequency correlation + driver-gene diff, one compiled program
+    (the tunneled backend pays ~0.1 s dispatch latency per un-jitted
+    op; batching per-metric op chains is the validate-step speed fix)."""
+    rf = jnp.mean(real, axis=0)
+    sf = jnp.mean(synth, axis=0)
+    return pearson_corr(rf, sf), jnp.mean(jnp.abs(rf[didx] - sf[didx]))
+
+
+@jax.jit
+def _chi2_corr(real, synth, pi, pj):
+    """Both cohorts' pairwise chi2 + their correlation on device —
+    one program, one scalar readback."""
+    return pearson_corr(
+        chi2_binary_pairs(real, pi, pj), chi2_binary_pairs(synth, pi, pj)
+    )
 
 
 class BiologicalValidator:
@@ -71,30 +90,23 @@ class BiologicalValidator:
         real = jnp.asarray(real_mutations[common].values, jnp.float32)
         synth = jnp.asarray(synthetic_mutations[common].values, jnp.float32)
 
-        # 1. Mutation frequency correlation.
-        freq_corr = float(
-            pearson_corr(jnp.mean(real, axis=0), jnp.mean(synth, axis=0))
-        )
-        results["mutation_frequency_correlation"] = freq_corr
-        logger.info("Mutation frequency correlation: %.3f", freq_corr)
-
-        # 2. Driver-gene frequency difference (gated by
-        # check_driver_mutations, honored unlike the reference).
+        # 1+2. Frequency correlation + driver diff in ONE compiled
+        # program (the tunneled backend pays ~0.1 s dispatch latency
+        # per un-jitted op, so per-metric op chains dominate validate).
         drivers = (
             [g for g in self.driver_genes if g in common]
             if self.config.evaluation.check_driver_mutations
             else []
         )
+        didx = jnp.asarray(
+            [common.get_loc(g) for g in drivers] or [0], jnp.int32
+        )
+        freq_corr_d, driver_diff_d = _freq_stats(real, synth, didx)
+        freq_corr = float(freq_corr_d)
+        results["mutation_frequency_correlation"] = freq_corr
+        logger.info("Mutation frequency correlation: %.3f", freq_corr)
         if drivers:
-            idx = [common.get_loc(g) for g in drivers]
-            diff = float(
-                jnp.mean(
-                    jnp.abs(
-                        jnp.mean(real[:, idx], axis=0)
-                        - jnp.mean(synth[:, idx], axis=0)
-                    )
-                )
-            )
+            diff = float(driver_diff_d)
             results["driver_gene_frequency_diff"] = diff
             logger.info("Driver gene frequency diff: %.3f", diff)
 
@@ -129,11 +141,7 @@ class BiologicalValidator:
         if pairs:
             pi = jnp.asarray([p[0] for p in pairs])
             pj = jnp.asarray([p[1] for p in pairs])
-            chi2_real = np.asarray(chi2_binary_pairs(real, pi, pj))
-            chi2_synth = np.asarray(chi2_binary_pairs(synth, pi, pj))
-            chi2_corr = float(
-                pearson_corr(jnp.asarray(chi2_real), jnp.asarray(chi2_synth))
-            )
+            chi2_corr = float(_chi2_corr(real, synth, pi, pj))
             results["cooccurrence_pattern_correlation"] = chi2_corr
             logger.info("Co-occurrence pattern correlation: %.3f", chi2_corr)
 
@@ -244,13 +252,11 @@ class BiologicalValidator:
 
         results["mmd"] = float(mmd_rbf_auto(real, synth))
 
-        # Wasserstein over 10 PCA components (validation.py:256-269).
+        # Wasserstein over 10 PCA components (validation.py:256-269);
+        # all components in one vmapped program + one readback.
         n_comp = min(n_pca_components, real.shape[0], real.shape[1])
         real_pca, synth_pca = pca_project(real, synth, n_comp)
-        dists = [
-            float(wasserstein_1d(real_pca[:, i], synth_pca[:, i]))
-            for i in range(n_comp)
-        ]
+        dists = np.asarray(wasserstein_columns(real_pca, synth_pca))
         results["wasserstein_distance_mean"] = float(np.mean(dists))
 
         for key, value in results.items():

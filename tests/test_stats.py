@@ -182,3 +182,22 @@ def test_ks_auto_mode_switches():
     np.testing.assert_allclose(np.asarray(p_auto), np.asarray(p_exact))
     # The two methods genuinely differ at these sizes.
     assert np.abs(np.asarray(p_exact) - np.asarray(p_asymp)).max() > 1e-4
+
+
+def test_wasserstein_columns_matches_per_column():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from osteosarcoma_diffusionmodel_tpu.ops.stats import (
+        wasserstein_1d,
+        wasserstein_columns,
+    )
+
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(0, 1, (50, 5)), jnp.float32)
+    v = jnp.asarray(rng.normal(0.3, 1.2, (80, 5)), jnp.float32)
+    batched = np.asarray(wasserstein_columns(u, v))
+    single = np.array(
+        [float(wasserstein_1d(u[:, i], v[:, i])) for i in range(5)]
+    )
+    np.testing.assert_allclose(batched, single, rtol=1e-5, atol=1e-6)
