@@ -190,6 +190,54 @@ def train_model(config: Config, resume: bool = False, profile: bool = False):
     else:
         history = trainer.train(resume=resume)
 
+    ftc = config.training.sample_path_finetune
+    if ftc.enabled:
+        if config.model.architecture != "diffusion":
+            logger.warning(
+                "sample_path_finetune only applies to the diffusion "
+                "architecture; skipping (architecture=%s)",
+                config.model.architecture,
+            )
+        elif getattr(model, "discrete_head", False):
+            logger.warning(
+                "sample_path_finetune is incompatible with the discrete "
+                "mutation head (no pathwise gradient through bit draws); "
+                "skipping"
+            )
+        else:
+            _banner("STEP 4b: Sample-path fine-tuning (differentiable DDIM)")
+            import jax
+
+            from .training.checkpoint import BEST_NAME
+            from .training.finetune import sample_path_finetune
+
+            # Fine-tune the checkpoint the generate step will load.
+            state = trainer.checkpoints.restore(
+                BEST_NAME, trainer.state_dict(0, 0.0)
+            )
+            new_params, ft_hist = sample_path_finetune(
+                model,
+                state["params"],
+                trainer._data,
+                trainer._cond,
+                jax.random.PRNGKey(config.training.random_seed + 77),
+                steps=ftc.steps,
+                ddim_steps=ftc.ddim_steps,
+                sample_batch=ftc.sample_batch,
+                learning_rate=ftc.learning_rate,
+                soft_tau=ftc.soft_tau,
+                cooccurrence_weight=ftc.cooccurrence_weight,
+                anchor_weight=ftc.anchor_weight,
+            )
+            state["params"] = new_params
+            trainer.checkpoints.save(BEST_NAME, state)
+            trainer.checkpoints.wait()
+            trainer.params = new_params
+            logger.info(
+                "Fine-tune done: cooccurrence %.4f -> %.4f",
+                ft_hist["cooccurrence"][0], ft_hist["cooccurrence"][-1],
+            )
+
     # Persist the dim-frozen config for the generate step
     # (reference main.py:183-184) and the loss history for analysis.
     config.to_yaml(UPDATED_CONFIG_PATH)

@@ -169,6 +169,30 @@ class AugmentationConfig:
 
 
 @dataclass
+class SamplePathFinetuneConfig:
+    """Post-training sample-path fine-tuning (training/finetune.py).
+
+    Differentiates through a short DDIM chain and descends the
+    co-occurrence matching loss on generated cohorts, anchored by the
+    base diffusion loss. Off by default: at n≈100 the copula
+    calibration is the statistically efficient joint estimator
+    (docs/ROADMAP.md §2); enable when generated mutation structure must
+    be model-owned (serving without data_stats, transfer settings).
+    Diffusion architecture only; incompatible with the discrete
+    (D3PM) mutation head, whose bit draws have no pathwise gradient.
+    """
+
+    enabled: bool = False
+    steps: int = 300
+    ddim_steps: int = 8
+    sample_batch: int = 256
+    learning_rate: float = 1e-5
+    soft_tau: float = 0.1
+    cooccurrence_weight: float = 5.0
+    anchor_weight: float = 1.0
+
+
+@dataclass
 class TrainingConfig:
     batch_size: int = 16
     num_epochs: int = 2000
@@ -193,6 +217,9 @@ class TrainingConfig:
     grad_clip_norm: float = 1.0
     # TPU data parallelism: number of mesh devices; None = all available.
     num_devices: Optional[int] = None
+    sample_path_finetune: SamplePathFinetuneConfig = field(
+        default_factory=SamplePathFinetuneConfig
+    )
 
 
 @dataclass
@@ -363,7 +390,10 @@ class Config:
             training=_build(
                 TrainingConfig,
                 raw.get("training", {}),
-                {"augmentation": AugmentationConfig},
+                {
+                    "augmentation": AugmentationConfig,
+                    "sample_path_finetune": SamplePathFinetuneConfig,
+                },
             ),
             evaluation=_build_evaluation(raw.get("evaluation", {})),
             generation=_build_generation(raw.get("generation", {})),
