@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -113,10 +114,26 @@ class GenerationService:
         return {k: v[:num_samples] for k, v in out.items()}
 
 
-def make_handler(service: GenerationService):
+def make_handler(service: GenerationService, auth_token: Optional[str] = None):
+    """Build the request handler.
+
+    With `auth_token` set, every endpoint except GET /health (kept open
+    for load-balancer checks) requires `Authorization: Bearer <token>`.
+    Compared in constant time; a missing/wrong token is 401.
+    """
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             logger.debug(fmt, *args)
+
+        def _authorized(self) -> bool:
+            if auth_token is None or self.path == "/health":
+                return True
+            import hmac
+
+            header = self.headers.get("Authorization", "")
+            expected = f"Bearer {auth_token}"
+            return hmac.compare_digest(header, expected)
 
         def _send(self, code: int, payload: Dict):
             body = json.dumps(payload).encode()
@@ -127,6 +144,9 @@ def make_handler(service: GenerationService):
             self.wfile.write(body)
 
         def do_GET(self):
+            if not self._authorized():
+                self._send(401, {"error": "missing or invalid bearer token"})
+                return
             if self.path == "/health":
                 self._send(200, {
                     "status": "ok",
@@ -157,6 +177,9 @@ def make_handler(service: GenerationService):
             self.wfile.write(body)
 
         def do_POST(self):
+            if not self._authorized():
+                self._send(401, {"error": "missing or invalid bearer token"})
+                return
             if self.path != "/generate":
                 self._send(404, {"error": "not found"})
                 return
@@ -209,20 +232,38 @@ def serve(
     port: int = 8080,
     config: Optional[Config] = None,
     warmup: bool | tuple | list = True,
+    auth_token: Optional[str] = None,
+    tls_cert: Optional[str] = None,
+    tls_key: Optional[str] = None,
 ) -> ThreadingHTTPServer:
     """Start the service (returns the server; call serve_forever()).
 
     `warmup` may be a list of batch buckets to pre-compile (True means
     the default 64-bucket). Compilation happens before the socket opens
     so a load balancer's health check never routes traffic to a server
-    that would stall compiling.
+    that would stall compiling. `auth_token` enables bearer-token auth
+    (all endpoints but /health); `tls_cert`+`tls_key` (PEM paths) wrap
+    the socket in TLS — both optional, since production deployments
+    typically terminate auth/TLS at the ingress (docs/DEPLOYMENT.md).
     """
     service = GenerationService(checkpoint_dir, config)
     if warmup:
         service.warmup((64,) if warmup is True else warmup)
-    server = ThreadingHTTPServer((host, port), make_handler(service))
+    server = ThreadingHTTPServer((host, port), make_handler(service, auth_token))
+    if tls_cert or tls_key:
+        if not (tls_cert and tls_key):
+            raise ValueError("TLS requires both tls_cert and tls_key")
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(certfile=tls_cert, keyfile=tls_key)
+        server.socket = ctx.wrap_socket(server.socket, server_side=True)
     server.service = service  # for tests/introspection
-    logger.info("Serving on %s:%d", host, port)
+    logger.info(
+        "Serving on %s://%s:%d%s",
+        "https" if tls_cert else "http", host, port,
+        " (bearer auth)" if auth_token else "",
+    )
     return server
 
 
@@ -239,11 +280,22 @@ def main(argv=None):
         help="comma-separated batch buckets to pre-compile at startup "
         "(e.g. '64,1024,16384'); empty string skips warmup",
     )
+    parser.add_argument(
+        "--auth-token",
+        default=os.environ.get("OSDM_AUTH_TOKEN"),
+        help="require 'Authorization: Bearer <token>' on all endpoints "
+        "but /health (default: $OSDM_AUTH_TOKEN; unset = open)",
+    )
+    parser.add_argument("--tls-cert", help="PEM certificate path (enables TLS)")
+    parser.add_argument("--tls-key", help="PEM private-key path")
     args = parser.parse_args(argv)
     buckets = [int(b) for b in args.warmup_buckets.split(",") if b.strip()]
     server = serve(
         args.checkpoint_dir, args.host, args.port,
         warmup=buckets or False,
+        auth_token=args.auth_token,
+        tls_cert=args.tls_cert,
+        tls_key=args.tls_key,
     )
     server.serve_forever()
 

@@ -61,6 +61,11 @@ def main():
         cfg.model.diffusion.learn_sigma = True
     if os.environ.get("DEMO_DISCRETE"):  # binary D3PM mutation head
         cfg.model.diffusion.discrete_mutation_head = True
+    if os.environ.get("DEMO_FINETUNE"):  # sample-path fine-tune (STEP 4b)
+        cfg.training.sample_path_finetune.enabled = True
+        cfg.training.sample_path_finetune.steps = int(
+            os.environ.get("DEMO_FT_STEPS", 300)
+        )
     cfg.training.save_dir = str(workdir / "ckpt")
     cfg.generation.num_synthetic_samples = 10002
     cfg.output.results_dir = str(workdir / "results")

@@ -161,8 +161,9 @@ def test_main_warmup_bucket_parsing():
 
     captured = {}
 
-    def fake_serve(ckpt, host, port, warmup):
+    def fake_serve(ckpt, host, port, warmup, **kwargs):
         captured["warmup"] = warmup
+        captured.update(kwargs)
 
         class _S:
             def serve_forever(self):
@@ -179,3 +180,74 @@ def test_main_warmup_bucket_parsing():
         assert captured["warmup"] is False
     finally:
         srv.serve = orig
+
+
+def test_bearer_auth(trained_checkpoint):
+    server = serve(trained_checkpoint, port=0, warmup=False,
+                   auth_token="s3cret")
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        # /health stays open for load-balancer checks.
+        conn.request("GET", "/health")
+        assert conn.getresponse().status == 200
+
+        conn.request("GET", "/metrics")
+        assert conn.getresponse().status == 401
+        conn.request("GET", "/metrics",
+                     headers={"Authorization": "Bearer wrong"})
+        assert conn.getresponse().status == 401
+
+        body = json.dumps({"num_samples": 1})
+        conn.request("POST", "/generate", body=body)
+        assert conn.getresponse().status == 401
+
+        conn.request("POST", "/generate", body=body,
+                     headers={"Authorization": "Bearer s3cret"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())["num_samples"] == 1
+        conn.request("GET", "/metrics",
+                     headers={"Authorization": "Bearer s3cret"})
+        assert conn.getresponse().status == 200
+    finally:
+        server.shutdown()
+
+
+def test_tls_roundtrip(trained_checkpoint, tmp_path):
+    import shutil
+    import ssl
+    import subprocess
+
+    openssl = shutil.which("openssl")
+    if openssl is None:
+        pytest.skip("openssl binary not available")
+    cert, key = tmp_path / "crt.pem", tmp_path / "key.pem"
+    subprocess.run(
+        [openssl, "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=127.0.0.1"],
+        check=True, capture_output=True,
+    )
+    server = serve(trained_checkpoint, port=0, warmup=False,
+                   tls_cert=str(cert), tls_key=str(key))
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        ctx = ssl.create_default_context(cafile=str(cert))
+        ctx.check_hostname = False
+        conn = http.client.HTTPSConnection("127.0.0.1", port, timeout=120,
+                                           context=ctx)
+        conn.request("GET", "/health")
+        assert json.loads(conn.getresponse().read())["status"] == "ok"
+    finally:
+        server.shutdown()
+
+
+def test_tls_requires_both_cert_and_key(trained_checkpoint):
+    with pytest.raises(ValueError, match="TLS"):
+        serve(trained_checkpoint, port=0, warmup=False,
+              tls_cert="only_cert.pem")
