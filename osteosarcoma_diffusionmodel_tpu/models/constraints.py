@@ -31,6 +31,18 @@ import numpy as np
 _EPS = 1e-8
 
 
+def mutation_corr_matrix(mutation_data: np.ndarray) -> np.ndarray:
+    """Cohort mutation correlation matrix, constant-gene-safe: rows and
+    columns of zero-variance genes are zeroed instead of NaN."""
+    std = mutation_data.std(axis=0)
+    safe = np.where(std > 1e-6, std, 1.0)
+    z = (mutation_data - mutation_data.mean(axis=0)) / safe
+    corr = (z.T @ z / mutation_data.shape[0]).astype(np.float32)
+    corr[std <= 1e-6, :] = 0.0
+    corr[:, std <= 1e-6] = 0.0
+    return corr
+
+
 @dataclass(frozen=True)
 class ConstraintSpec:
     """Static, host-prepared index structures for the constraint losses.
@@ -121,13 +133,7 @@ class ConstraintSpec:
                 r_sign.append(1.0 if direction == "positive" else -1.0)
 
         if mutation_data is not None and mutation_data.shape[0] > 2:
-            std = mutation_data.std(axis=0)
-            safe = np.where(std > 1e-6, std, 1.0)
-            z = (mutation_data - mutation_data.mean(axis=0)) / safe
-            corr = (z.T @ z / mutation_data.shape[0]).astype(np.float32)
-            corr[std <= 1e-6, :] = 0.0
-            corr[:, std <= 1e-6] = 0.0
-            mutation_corr_target = corr
+            mutation_corr_target = mutation_corr_matrix(mutation_data)
         else:
             mutation_corr_target = np.zeros((0, 0), np.float32)
 

@@ -29,20 +29,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.constraints import cooccurrence_matching_loss
+from ..models.constraints import (
+    cooccurrence_matching_loss,
+    mutation_corr_matrix as mutation_corr_target,
+)
 
 logger = logging.getLogger(__name__)
-
-
-def mutation_corr_target(mutation_data: np.ndarray) -> np.ndarray:
-    """Training-cohort mutation correlation matrix (constant-gene-safe)."""
-    std = mutation_data.std(axis=0)
-    safe = np.where(std > 1e-6, std, 1.0)
-    z = (mutation_data - mutation_data.mean(axis=0)) / safe
-    corr = (z.T @ z / mutation_data.shape[0]).astype(np.float32)
-    corr[std <= 1e-6, :] = 0.0
-    corr[:, std <= 1e-6] = 0.0
-    return corr
 
 
 def sample_path_finetune(
