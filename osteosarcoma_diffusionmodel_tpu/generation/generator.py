@@ -72,6 +72,7 @@ class SyntheticPatientGenerator:
         # Fused Pallas sampler (ops/fused_sampler.py), built lazily;
         # False = probed and unsupported.
         self._fused = None
+        self._fused_ddim = {}
 
     # ------------------------------------------------------------------
     def create_conditions(
@@ -155,7 +156,37 @@ class SyntheticPatientGenerator:
         guidance = (
             gen.guidance_scale if self.model.cfg_dropout_prob > 0 else 1.0
         )
+        n_data = self.mesh.shape["data"] if self.mesh is not None else 1
         if gen.sampler == "ddim":
+            # Deterministic (eta=0) DDIM also has a fused whole-loop
+            # kernel variant — same VMEM-resident design, no per-step
+            # noise. Lower engage threshold than DDPM: fewer steps mean
+            # the scan path's per-step weight streaming amortizes less.
+            if (
+                gen.fused_sampler
+                and guidance == 1.0
+                and not self.model.discrete_head
+                and conditions.shape[0] >= 1024 * n_data
+            ):
+                fkey = gen.sampling_steps
+                if fkey not in self._fused_ddim:
+                    from ..ops.fused_sampler import maybe_fused_sampler
+
+                    self._fused_ddim[fkey] = (
+                        maybe_fused_sampler(
+                            self.model, params, ddim_steps=fkey
+                        ) or False
+                    )
+                    logger.info(
+                        "Fused Pallas DDIM sampler: %s",
+                        "engaged" if self._fused_ddim[fkey] else
+                        "unsupported config, using scan sampler",
+                    )
+                fused = self._fused_ddim[fkey]
+                if fused is not False:
+                    if self.mesh is not None:
+                        return fused.sample_sharded(self.mesh, conditions, rng)
+                    return fused.sample(conditions, rng)
             key = ("ddim", guidance, gen.sampling_steps)
             if key not in self._sample_fns:
                 steps, g = gen.sampling_steps, guidance
@@ -170,7 +201,6 @@ class SyntheticPatientGenerator:
             # kernel keeps x + all weights VMEM-resident across the
             # full reverse loop). Under a mesh it runs shard_map'd over
             # the `data` axis. CFG cohorts use the scan path.
-            n_data = self.mesh.shape["data"] if self.mesh is not None else 1
             if (
                 gen.fused_sampler
                 and guidance == 1.0

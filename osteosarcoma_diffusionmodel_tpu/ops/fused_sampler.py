@@ -124,11 +124,17 @@ def _groupnorm(h, g, gt, scale, bias, group_size):
     return (h - mean_full) * inv * scale + bias
 
 
-def _build_kernel(layout, T, tile_b, data_dim, clip_value, use_prng):
+def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode):
     """Build the kernel body. `layout` describes how the flat ref list
     maps onto layers: a list of ("block", n_in_parts, features) entries
     plus the group-matrix table. Static Python closure — unrolls to a
-    fixed denoiser structure at trace time."""
+    fixed denoiser structure at trace time.
+
+    `noise_mode`: "prng" (on-chip PRNG transition noise, the DDPM
+    production path), "buffer" (noise streamed in as an input, parity
+    tests), or "none" (deterministic update — the eta=0 DDIM path,
+    which needs no per-step noise at all)."""
+    use_prng = noise_mode == "prng"
 
     def kernel(*refs):
         seed_ref, coeff_ref, x_ref, cproj_ref, tadd_ref = refs[:5]
@@ -143,7 +149,7 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, use_prng):
         idx += 2
         gmat_refs = refs[idx : idx + 2 * len(layout["gn_features"])]
         idx += 2 * len(layout["gn_features"])
-        noise_ref = refs[idx] if not use_prng else None
+        noise_ref = refs[idx] if noise_mode == "buffer" else None
         out_ref = refs[-1]
 
         gn_table = {}
@@ -227,6 +233,13 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, use_prng):
 
         def body(s, x):
             x0 = denoise(x, s)
+            if noise_mode == "none":
+                # Deterministic (eta=0 DDIM) update; the coefficient
+                # table already folds the x0/x_t mixing per step.
+                c0 = coeff_ref[s, 0]
+                c1 = coeff_ref[s, 1]
+                x_new = c0 * x0 + c1 * x.astype(jnp.float32)
+                return x_new.astype(jnp.bfloat16)
             if use_prng:
                 bits = pltpu.bitcast(
                     pltpu.prng_random_bits((tile_b, data_dim)), jnp.uint32
@@ -258,7 +271,13 @@ class FusedSampler:
     jitted fused sampling calls, cached per padded batch size."""
 
     def __init__(self, model, params, tile_b: int = 512,
-                 interpret: bool = False):
+                 interpret: bool = False,
+                 ddim_steps: Optional[int] = None):
+        """`ddim_steps`: when set, the kernel runs the deterministic
+        (eta=0) DDIM update over that many strided timesteps instead of
+        the full T-step ancestral loop — same VMEM-resident structure,
+        no per-step noise at all (models/diffusion.py sample_ddim
+        algebra, x0 parameterization)."""
         if not supports_fused(model):
             raise ValueError(
                 "model configuration not supported by the fused sampler; "
@@ -273,9 +292,17 @@ class FusedSampler:
         self.hidden = list(d.hidden_dims)
         sched = model.schedule
         self.T = sched.num_steps
+        self.ddim_steps = ddim_steps
+        self.deterministic = ddim_steps is not None
 
         # --- per-step tables (reverse-time order, last row = t=0) -----
-        ts = np.arange(self.T - 1, -1, -1)
+        if ddim_steps is None:
+            ts = np.arange(self.T - 1, -1, -1)
+        else:
+            from .schedules import ddim_timesteps
+
+            ts = ddim_timesteps(self.T, ddim_steps)[::-1].copy()
+        self.n_loop = len(ts)
         t_norm = ts.astype(np.float64) / self.T
         sin = _sinusoid(t_norm, d.time_dim)
         p = jax.tree_util.tree_map(np.asarray, params)
@@ -286,16 +313,29 @@ class FusedSampler:
             t_emb + p["input_proj"]["bias"], jnp.float32
         )
 
-        coef_x0 = np.asarray(sched.posterior_coef_x0)[ts].copy()
-        coef_xt = np.asarray(sched.posterior_coef_xt)[ts].copy()
-        sqrt_var = np.sqrt(np.asarray(sched.posterior_variance)[ts])
-        # Final step (t=0): return clip(x0_pred) — no posterior, no noise.
-        coef_x0[-1], coef_xt[-1], sqrt_var[-1] = 1.0, 0.0, 0.0
+        if ddim_steps is None:
+            coef_x0 = np.asarray(sched.posterior_coef_x0)[ts].copy()
+            coef_xt = np.asarray(sched.posterior_coef_xt)[ts].copy()
+            sqrt_var = np.sqrt(np.asarray(sched.posterior_variance)[ts])
+            # Final step (t=0): return clip(x0_pred) — no posterior, no
+            # noise.
+            coef_x0[-1], coef_xt[-1], sqrt_var[-1] = 1.0, 0.0, 0.0
+        else:
+            # x_prev = sqrt(acp_prev)·x0 + sqrt(1-acp_prev)·eps with
+            # eps recomputed from the clipped x0 — linearized into
+            # c0·x0 + c1·x_t (sample_ddim, eta=0).
+            acp = np.asarray(sched.alphas_cumprod, np.float64)
+            acp_t = acp[ts]
+            prev = np.concatenate([ts[1:], np.array([-1])])
+            acp_prev = np.where(prev >= 0, acp[np.maximum(prev, 0)], 1.0)
+            coef_xt = np.sqrt((1.0 - acp_prev) / (1.0 - acp_t))
+            coef_x0 = np.sqrt(acp_prev) - coef_xt * np.sqrt(acp_t)
+            sqrt_var = np.zeros_like(coef_x0)
         self.coeffs = jnp.asarray(
             np.stack(
                 [coef_x0, coef_xt, sqrt_var, gains[:, 0]], axis=1
             ).astype(np.float32)
-        )  # (T, 4)
+        )  # (n_loop, 4)
 
         # --- weights, flattened in kernel order -----------------------
         hidden = self.hidden
@@ -336,14 +376,14 @@ class FusedSampler:
         self._fns = {}
 
     # ------------------------------------------------------------------
-    def _pallas_fn(self, b_padded: int, use_prng: bool):
-        key = (b_padded, use_prng)
+    def _pallas_fn(self, b_padded: int, noise_mode: str):
+        key = (b_padded, noise_mode)
         if key in self._fns:
             return self._fns[key]
-        tile_b, D, T = self.tile_b, self.data_dim, self.T
+        tile_b, D, T = self.tile_b, self.data_dim, self.n_loop
         kernel = _build_kernel(
             self.layout, T, tile_b, D,
-            self.model.denoised_clip_value, use_prng,
+            self.model.denoised_clip_value, noise_mode,
         )
 
         def full_spec(shape, space=pltpu.VMEM):
@@ -363,7 +403,7 @@ class FusedSampler:
         ]
         for w in self.weights + self.gmats:
             in_specs.append(full_spec(w.shape))
-        if not use_prng:
+        if noise_mode == "buffer":
             in_specs.append(
                 pl.BlockSpec((T, tile_b, D), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
@@ -399,7 +439,7 @@ class FusedSampler:
         if num_samples is None:
             num_samples = conditions.shape[0]
         d = self.model.denoiser
-        D, T, tile_b = self.data_dim, self.T, self.tile_b
+        D, T, tile_b = self.data_dim, self.n_loop, self.tile_b
 
         init_rng, seed_rng = jax.random.split(rng)
         c_proj = d.apply(
@@ -417,14 +457,18 @@ class FusedSampler:
 
         args = [seed, self.coeffs, x_init, c_proj, self.t_add]
         args += self.weights + self.gmats
-        use_prng = noise is None
-        if not use_prng:
+        if self.deterministic:
+            assert noise is None, "eta=0 DDIM takes no transition noise"
+            noise_mode = "none"
+        else:
+            noise_mode = "prng" if noise is None else "buffer"
+        if noise_mode == "buffer":
             assert noise.shape == (T, num_samples, D), noise.shape
             if pad_b:
                 noise = jnp.pad(noise, ((0, 0), (0, pad_b), (0, 0)))
             args.append(noise.astype(jnp.float32))
 
-        out = self._pallas_fn(b_padded, use_prng)(*args)
+        out = self._pallas_fn(b_padded, noise_mode)(*args)
         return out[:num_samples].astype(jnp.float32)
 
 
@@ -447,7 +491,7 @@ class FusedSampler:
         if num_samples is None:
             num_samples = conditions.shape[0]
         d = self.model.denoiser
-        D, T = self.data_dim, self.T
+        D, T = self.data_dim, self.n_loop
         n_dev = mesh.shape["data"]
         chunk = n_dev * self.tile_b
         pad_b = -num_samples % chunk
@@ -468,7 +512,12 @@ class FusedSampler:
             jnp.int32
         )
 
-        fn = self._pallas_fn(per_dev, use_prng=noise is None)
+        if self.deterministic:
+            assert noise is None, "eta=0 DDIM takes no transition noise"
+            noise_mode = "none"
+        else:
+            noise_mode = "prng" if noise is None else "buffer"
+        fn = self._pallas_fn(per_dev, noise_mode)
         consts = [self.coeffs, self.t_add] + self.weights + self.gmats
 
         def per_device(seed, x, c, *rest):
@@ -501,15 +550,17 @@ class FusedSampler:
         return out[:num_samples].astype(jnp.float32)
 
 
-def maybe_fused_sampler(model, params, tile_b: int = 512):
+def maybe_fused_sampler(model, params, tile_b: int = 512,
+                        ddim_steps: Optional[int] = None):
     """FusedSampler when the config AND backend support it, else None.
 
     The compiled kernel is Mosaic/TPU-only; on CPU (tests, virtual
     meshes) callers fall back to the scan sampler (interpret-mode use
-    constructs FusedSampler directly).
+    constructs FusedSampler directly). `ddim_steps` builds the
+    deterministic strided-DDIM variant instead of the full DDPM loop.
     """
     if jax.devices()[0].platform not in ("tpu", "axon"):
         return None
     if not supports_fused(model):
         return None
-    return FusedSampler(model, params, tile_b=tile_b)
+    return FusedSampler(model, params, tile_b=tile_b, ddim_steps=ddim_steps)

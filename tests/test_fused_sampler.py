@@ -183,3 +183,89 @@ def test_fused_sharded_pads_ragged_cohort():
                                  noise=noise)
     assert out.shape == (B, D)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def reference_ddim_loop(model, params, conditions, rng, ddim_steps):
+    """bf16-carry eta=0 DDIM loop with the real Flax denoiser,
+    mirroring the fused kernel's init-key derivation and the
+    sample_ddim algebra (clipped-x0 eps recomputation)."""
+    from osteosarcoma_diffusionmodel_tpu.ops.schedules import ddim_timesteps
+
+    sched = model.schedule
+    T = sched.num_steps
+    B = conditions.shape[0]
+    D = model.denoiser.data_dim
+    init_rng, _ = jax.random.split(rng)
+    x = jax.random.normal(init_rng, (B, D), jnp.bfloat16)
+
+    ts = ddim_timesteps(T, ddim_steps)[::-1].copy()
+    prev = np.concatenate([ts[1:], np.array([-1])])
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    for t, tp in zip(ts, prev):
+        t_vec = jnp.full((B,), t / T, jnp.float32)
+        pred = model.denoiser.apply(
+            {"params": params}, x.astype(jnp.float32), t_vec,
+            conditions=conditions, deterministic=True,
+        )
+        x0 = jnp.clip(pred, -model.denoised_clip_value,
+                      model.denoised_clip_value)
+        if tp < 0:
+            x = x0.astype(jnp.bfloat16)
+            break
+        acp_t, acp_prev = acp[t], acp[tp]
+        eps = (x.astype(jnp.float32) - np.sqrt(acp_t) * x0) / np.sqrt(
+            1.0 - acp_t
+        )
+        x_new = np.sqrt(acp_prev) * x0 + np.sqrt(1.0 - acp_prev) * eps
+        x = x_new.astype(jnp.bfloat16)
+    return x.astype(jnp.float32)
+
+
+def test_fused_ddim_matches_reference_loop_interpret():
+    model, params, dims = make_model(num_steps=20)
+    B = 2 * TILE_B
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, dims.condition_dim))
+    rng = jax.random.PRNGKey(2)
+
+    sampler = FusedSampler(model, params, tile_b=TILE_B, interpret=True,
+                           ddim_steps=5)
+    assert sampler.deterministic and sampler.n_loop == 5
+    fused = sampler.sample(cond, rng)
+    ref = reference_ddim_loop(model, params, cond, rng, ddim_steps=5)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=0.15, rtol=0.05
+    )
+    assert float(jnp.std(ref)) > 0.05
+
+
+def test_fused_ddim_rejects_noise_and_is_deterministic():
+    model, params, dims = make_model(num_steps=20)
+    B = TILE_B
+    cond = jnp.zeros((B, dims.condition_dim))
+    sampler = FusedSampler(model, params, tile_b=TILE_B, interpret=True,
+                           ddim_steps=4)
+    T, D = 4, dims.data_dim
+    with pytest.raises(AssertionError, match="eta=0"):
+        sampler.sample(cond, jax.random.PRNGKey(0),
+                       noise=jnp.zeros((T, B, D)))
+    # Same rng -> identical output (no transition noise anywhere).
+    a = sampler.sample(cond, jax.random.PRNGKey(5))
+    b = sampler.sample(cond, jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_ddim_sharded_matches_single_device():
+    from osteosarcoma_diffusionmodel_tpu.parallel.mesh import make_mesh
+
+    model, params, dims = make_model(num_steps=20)
+    mesh = make_mesh(8)
+    B = 8 * TILE_B
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, dims.condition_dim))
+    rng = jax.random.PRNGKey(2)
+    sampler = FusedSampler(model, params, tile_b=TILE_B, interpret=True,
+                           ddim_steps=5)
+    single = sampler.sample(cond, rng)
+    sharded = sampler.sample_sharded(mesh, cond, rng)
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), atol=1e-2, rtol=1e-2
+    )
