@@ -153,6 +153,19 @@ def main():
     dt = timeit(fd, params, cond_s, jax.random.PRNGKey(3), n=2)
     results["ddim50_patients_per_sec_b1024"] = 1024 / dt
 
+    # Fused (noise-free) DDIM-50 kernel.
+    fused_ddim = maybe_fused_sampler(model, params, ddim_steps=50)
+    if fused_ddim is not None:
+        for batch_s in (1024, 4096, 16384, 32768):
+            cond_s = jnp.zeros((batch_s, C))
+            dt = timeit(
+                lambda c, k: fused_ddim.sample(c, k),
+                cond_s, jax.random.PRNGKey(3), n=2,
+            )
+            results[f"ddim50_fused_patients_per_sec_b{batch_s}"] = (
+                batch_s / dt
+            )
+
     # Validation statistics at 10k-cohort scale.
     real = jax.random.normal(jax.random.PRNGKey(4), (100, dims.data_dim))
     synth = jax.random.normal(jax.random.PRNGKey(5), (10000, dims.data_dim))
