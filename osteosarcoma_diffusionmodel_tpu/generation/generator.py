@@ -160,13 +160,14 @@ class SyntheticPatientGenerator:
         if gen.sampler == "ddim":
             # Deterministic (eta=0) DDIM also has a fused whole-loop
             # kernel variant — same VMEM-resident design, no per-step
-            # noise. Lower engage threshold than DDPM: fewer steps mean
-            # the scan path's per-step weight streaming amortizes less.
+            # noise. Measured crossover vs the scan path ~8k/device
+            # (scan wins below: more grid cells per step let XLA use
+            # the whole chip; fused peaks 206k patients/sec at 131k).
             if (
                 gen.fused_sampler
                 and guidance == 1.0
                 and not self.model.discrete_head
-                and conditions.shape[0] >= 1024 * n_data
+                and conditions.shape[0] >= 8192 * n_data
             ):
                 fkey = gen.sampling_steps
                 if fkey not in self._fused_ddim:

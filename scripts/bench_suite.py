@@ -156,7 +156,7 @@ def main():
     # Fused (noise-free) DDIM-50 kernel.
     fused_ddim = maybe_fused_sampler(model, params, ddim_steps=50)
     if fused_ddim is not None:
-        for batch_s in (1024, 4096, 16384, 32768):
+        for batch_s in (8192, 32768, 131072):
             cond_s = jnp.zeros((batch_s, C))
             dt = timeit(
                 lambda c, k: fused_ddim.sample(c, k),
