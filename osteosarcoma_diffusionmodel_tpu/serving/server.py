@@ -74,19 +74,24 @@ class GenerationService:
             "max_seconds": 0.0,
         }
 
-    def warmup(self, batches=(64,)) -> None:
+    def warmup(self, batches=(64,), samplers=("ddpm",)) -> None:
         """Pre-compile the sampler for the given batch buckets.
 
-        Each distinct bucket size is a distinct XLA program; compiling
-        them at startup (instead of on the first request that hits the
-        bucket) removes the 20-40 s first-request latency cliff per
-        bucket. Buckets are compiled largest-first so the biggest
-        allocation happens while the heap is emptiest.
+        Each distinct (bucket, sampler) pair is a distinct XLA program;
+        compiling them at startup (instead of on the first request that
+        hits the pair) removes the 20-40 s first-request latency cliff.
+        Buckets are compiled largest-first so the biggest allocation
+        happens while the heap is emptiest.
         """
         if isinstance(batches, int):
             batches = (batches,)
-        for b in sorted(set(_bucket(int(b)) for b in batches), reverse=True):
-            self.generate(b, scenario={"survival_time": 800})
+        if isinstance(samplers, str):
+            samplers = (samplers,)
+        for s in samplers:
+            for b in sorted(
+                set(_bucket(int(b)) for b in batches), reverse=True
+            ):
+                self.generate(b, scenario={"survival_time": 800}, sampler=s)
 
     def generate(
         self, num_samples: int, scenario: Optional[Dict] = None,
@@ -101,11 +106,17 @@ class GenerationService:
         # not race a concurrent request's read of the shared config.
         with self._lock:
             self._seed += 1
+            # Per-request override must not leak into later requests
+            # that rely on the configured default.
+            default_sampler = self.config.generation.sampler
             if sampler:
                 self.config.generation.sampler = sampler
-            out = self.generator.generate(
-                bucket, scenario, rng=jax.random.PRNGKey(self._seed)
-            )
+            try:
+                out = self.generator.generate(
+                    bucket, scenario, rng=jax.random.PRNGKey(self._seed)
+                )
+            finally:
+                self.config.generation.sampler = default_sampler
             dt = time.perf_counter() - t0
             self.metrics["requests"] += 1
             self.metrics["patients"] += num_samples
@@ -235,6 +246,7 @@ def serve(
     auth_token: Optional[str] = None,
     tls_cert: Optional[str] = None,
     tls_key: Optional[str] = None,
+    warmup_samplers: tuple | list = ("ddpm",),
 ) -> ThreadingHTTPServer:
     """Start the service (returns the server; call serve_forever()).
 
@@ -248,7 +260,9 @@ def serve(
     """
     service = GenerationService(checkpoint_dir, config)
     if warmup:
-        service.warmup((64,) if warmup is True else warmup)
+        service.warmup(
+            (64,) if warmup is True else warmup, samplers=warmup_samplers
+        )
     server = ThreadingHTTPServer((host, port), make_handler(service, auth_token))
     if tls_cert or tls_key:
         if not (tls_cert and tls_key):
@@ -288,14 +302,22 @@ def main(argv=None):
     )
     parser.add_argument("--tls-cert", help="PEM certificate path (enables TLS)")
     parser.add_argument("--tls-key", help="PEM private-key path")
+    parser.add_argument(
+        "--warmup-samplers",
+        default="ddpm",
+        help="comma-separated samplers to pre-compile per bucket "
+        "(e.g. 'ddpm,ddim')",
+    )
     args = parser.parse_args(argv)
     buckets = [int(b) for b in args.warmup_buckets.split(",") if b.strip()]
+    samplers = [s for s in args.warmup_samplers.split(",") if s.strip()]
     server = serve(
         args.checkpoint_dir, args.host, args.port,
         warmup=buckets or False,
         auth_token=args.auth_token,
         tls_cert=args.tls_cert,
         tls_key=args.tls_key,
+        warmup_samplers=samplers or ("ddpm",),
     )
     server.serve_forever()
 

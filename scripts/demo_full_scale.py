@@ -66,6 +66,10 @@ def main():
         cfg.training.sample_path_finetune.steps = int(
             os.environ.get("DEMO_FT_STEPS", 300)
         )
+    if "DEMO_SAMPLER" in os.environ:  # ddpm | ddim
+        cfg.generation.sampler = os.environ["DEMO_SAMPLER"]
+    if "DEMO_SAMPLING_STEPS" in os.environ:
+        cfg.generation.sampling_steps = int(os.environ["DEMO_SAMPLING_STEPS"])
     cfg.training.save_dir = str(workdir / "ckpt")
     cfg.generation.num_synthetic_samples = 10002
     cfg.output.results_dir = str(workdir / "results")

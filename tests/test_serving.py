@@ -251,3 +251,15 @@ def test_tls_requires_both_cert_and_key(trained_checkpoint):
     with pytest.raises(ValueError, match="TLS"):
         serve(trained_checkpoint, port=0, warmup=False,
               tls_cert="only_cert.pem")
+
+
+def test_sampler_override_does_not_leak(trained_checkpoint):
+    """A per-request sampler override must not change the default for
+    subsequent requests, and warmup can pre-compile several samplers."""
+    service = GenerationService(trained_checkpoint)
+    default = service.config.generation.sampler
+    service.generate(2, sampler="ddim")
+    assert service.config.generation.sampler == default
+    service.warmup((2,), samplers=("ddpm", "ddim"))
+    assert service.config.generation.sampler == default
+    assert service.metrics["requests"] == 3
