@@ -326,6 +326,128 @@ class Trainer:
 
         return step
 
+    def _val_group_indices(self):
+        """Static validation batches mirroring `validate`'s batching
+        (per-batch means averaged equally, fold_in offsets = batch
+        start), for the in-graph validation of the block path."""
+        batch_size = self.config.training.batch_size
+        groups = []
+        for b in range(0, len(self.val_idx), batch_size):
+            groups.append(
+                (jnp.asarray(self.val_idx[b : b + batch_size]), b)
+            )
+        return groups
+
+    def _make_train_block(self):
+        """K epochs in ONE jitted program (training.epochs_per_dispatch).
+
+        The scan carries everything the per-epoch host loop tracks:
+        optimizer state, the plateau-LR state machine (bitwise the
+        PlateauLR.step logic), and the running best (val_loss, params,
+        batch_stats) — so per-epoch semantics survive while host syncs
+        drop from one-per-epoch to one-per-block. On the tunneled TPU
+        backend each sync costs ~0.4 s/readback, which dominates
+        600-epoch runs at n=100.
+        """
+        step = self._make_train_step()
+        tc = self.config.training
+        factor = tc.lr_plateau_factor
+        patience = tc.lr_plateau_patience
+        data_sharding = (
+            batch_sharding(self.mesh) if self.mesh is not None else None
+        )
+        val_groups = self._val_group_indices()
+
+        def gather(idx):
+            data = self._data[idx]
+            cond = self._cond[idx]
+            surv = self._surv[idx]
+            if data_sharding is not None:
+                data = jax.lax.with_sharding_constraint(data, data_sharding)
+                cond = jax.lax.with_sharding_constraint(cond, data_sharding)
+                surv = jax.lax.with_sharding_constraint(surv, data_sharding)
+            return data, cond, surv
+
+        def block(
+            params, opt_state, batch_stats, best_params, best_bs,
+            best_val, lr, p_best, p_count, batch_indices, epoch_rngs,
+        ):
+            # batch_indices: (E, n_batches, B); epoch_rngs: (E,) keys.
+            def epoch_body(carry, inputs):
+                (params, opt_state, batch_stats, best_params, best_bs,
+                 best_val, lr, p_best, p_count) = carry
+                idx, epoch_rng = inputs
+
+                def bbody(c, binp):
+                    params, opt_state, batch_stats = c
+                    bidx, brng = binp
+                    data, cond, surv = gather(bidx)
+                    params, opt_state, batch_stats, metrics = step(
+                        params, opt_state, batch_stats, data, cond, surv,
+                        brng,
+                    )
+                    return (params, opt_state, batch_stats), metrics["loss"]
+
+                keys = jax.vmap(lambda b: jax.random.fold_in(epoch_rng, b))(
+                    jnp.arange(idx.shape[0])
+                )
+                (params, opt_state, batch_stats), losses = jax.lax.scan(
+                    bbody, (params, opt_state, batch_stats), (idx, keys)
+                )
+                train_loss = jnp.mean(losses)
+
+                # Validation, mirroring `validate` exactly (same groups,
+                # same per-group rng folds, equal-weight group means).
+                if val_groups:
+                    val_rng = jax.random.fold_in(epoch_rng, 999)
+                    vlosses = []
+                    for gidx, offset in val_groups:
+                        data, cond, surv = gather(gidx)
+                        vloss, _ = self._loss_with_aux(
+                            params, batch_stats, (data, cond, surv),
+                            jax.random.fold_in(val_rng, offset), False,
+                        )
+                        vlosses.append(vloss)
+                    val_loss = jnp.mean(jnp.stack(vlosses))
+                else:
+                    val_loss = train_loss
+                val_loss = jnp.where(
+                    jnp.isnan(val_loss), train_loss, val_loss
+                )
+
+                # Plateau LR (PlateauLR.step logic, on device).
+                improved = val_loss < p_best
+                p_best = jnp.minimum(p_best, val_loss)
+                p_count = jnp.where(improved, 0, p_count + 1)
+                reduce = p_count > patience
+                lr = jnp.where(reduce, lr * factor, lr)
+                p_count = jnp.where(reduce, 0, p_count)
+                opt_state = _set_learning_rate(opt_state, lr)
+
+                # Best-checkpoint tracking (exact, per epoch).
+                is_best = val_loss < best_val
+                best_params = jax.tree_util.tree_map(
+                    lambda b, p: jnp.where(is_best, p, b), best_params, params
+                )
+                best_bs = jax.tree_util.tree_map(
+                    lambda b, p: jnp.where(is_best, p, b), best_bs,
+                    batch_stats,
+                )
+                best_val = jnp.where(is_best, val_loss, best_val)
+
+                carry = (params, opt_state, batch_stats, best_params,
+                         best_bs, best_val, lr, p_best, p_count)
+                return carry, (train_loss, val_loss)
+
+            carry = (params, opt_state, batch_stats, best_params, best_bs,
+                     best_val, lr, p_best, p_count)
+            carry, (train_losses, val_losses) = jax.lax.scan(
+                epoch_body, carry, (batch_indices, epoch_rngs)
+            )
+            return carry + (train_losses, val_losses)
+
+        return block
+
     def _gather_batch(self, indices: np.ndarray):
         idx = jnp.asarray(indices)
         batch = (self._data[idx], self._cond[idx], self._surv[idx])
@@ -422,6 +544,118 @@ class Trainer:
         return True
 
     # ------------------------------------------------------------------
+    def _train_block_loop(self, rng) -> TrainLog:
+        """Block-dispatch training loop (training.epochs_per_dispatch>1).
+
+        Each jitted block runs K epochs with per-epoch plateau-LR and
+        best-(val, params, batch_stats) tracking on device; the host
+        syncs once per block to log, checkpoint, and replay early
+        stopping. Divergences from the per-epoch loop, by design:
+        early stopping overshoots by at most K-1 epochs (the best
+        checkpoint is unaffected), periodic checkpoints land on block
+        boundaries, and the best checkpoint carries the block-end
+        optimizer state (generation only reads params/batch_stats).
+        """
+        from .checkpoint import BEST_NAME
+
+        tc = self.config.training
+        k = tc.epochs_per_dispatch
+        batch_size = min(tc.batch_size, len(self.train_idx))
+        n_batches = max(len(self.train_idx) // batch_size, 1)
+        block_fns: Dict[int, Any] = {}
+
+        best_params = jax.tree_util.tree_map(jnp.copy, self.params)
+        best_bs = jax.tree_util.tree_map(jnp.copy, self.batch_stats)
+        best_val = jnp.float32(jnp.inf)
+        lr = jnp.float32(self.plateau.lr)
+        p_best = jnp.float32(jnp.inf)
+        p_count = jnp.int32(0)
+
+        global_best = float("inf")
+        total_steps = 0
+        t_start = time.perf_counter()
+        epoch = self.start_epoch
+        stop = False
+        while epoch < tc.num_epochs and not stop:
+            E = min(k, tc.num_epochs - epoch)
+            if E not in block_fns:
+                block_fns[E] = jax.jit(self._make_train_block())
+            perm_idx = np.stack(
+                [
+                    np.random.default_rng(tc.random_seed + 1000 + e)
+                    .permutation(self.train_idx)[: n_batches * batch_size]
+                    .reshape(n_batches, batch_size)
+                    for e in range(epoch, epoch + E)
+                ]
+            )
+            epoch_rngs = jax.vmap(
+                lambda e: jax.random.fold_in(rng, e)
+            )(jnp.arange(epoch, epoch + E))
+
+            t0 = time.perf_counter()
+            (self.params, self.opt_state, self.batch_stats, best_params,
+             best_bs, best_val, lr, p_best, p_count, tl, vl) = block_fns[E](
+                self.params, self.opt_state, self.batch_stats, best_params,
+                best_bs, best_val, lr, p_best, p_count,
+                jnp.asarray(perm_idx), epoch_rngs,
+            )
+            tl, vl = np.asarray(tl), np.asarray(vl)  # one host sync
+            dt = time.perf_counter() - t0
+            total_steps += n_batches * E
+
+            for i in range(E):
+                self.history.train_loss.append(float(tl[i]))
+                self.history.val_loss.append(float(vl[i]))
+                self.history.epoch_seconds.append(dt / E)
+                e = epoch + i
+                if e % 25 == 0 or e == tc.num_epochs - 1:
+                    logger.info(
+                        "Epoch %d/%d  train %.4f  val %.4f  (%.2fs/epoch)",
+                        e + 1, tc.num_epochs, tl[i], vl[i], dt / E,
+                    )
+
+            bv = float(best_val)
+            if bv < global_best:
+                global_best = bv
+                e_best = epoch + int(np.argmin(vl))
+                self.checkpoints.save(
+                    BEST_NAME,
+                    {
+                        "params": best_params,
+                        "opt_state": self.opt_state,
+                        "batch_stats": best_bs,
+                        "epoch": e_best,
+                        "val_loss": bv,
+                    },
+                )
+                logger.info("Saved best model at epoch %d", e_best)
+            last = epoch + E - 1
+            if any((epoch + i + 1) % tc.save_frequency == 0 for i in range(E)):
+                self.checkpoints.save_epoch(
+                    last, self.state_dict(last, float(vl[-1])), False
+                )
+
+            for i in range(E):
+                self.early_stopping(float(vl[i]))
+                if self.early_stopping.early_stop:
+                    logger.info(
+                        "Early stopping at epoch %d (block granularity: "
+                        "trained through epoch %d)", epoch + i + 1, last + 1,
+                    )
+                    stop = True
+                    break
+            epoch += E
+
+        self.checkpoints.wait()
+        elapsed = time.perf_counter() - t_start
+        self.history.steps_per_sec = total_steps / max(elapsed, 1e-9)
+        self.plateau.lr = float(lr)  # expose final LR like the host path
+        logger.info(
+            "Training complete: best val %.4f, %.1f steps/sec",
+            global_best, self.history.steps_per_sec,
+        )
+        return self.history
+
     def train(self, resume: bool = False) -> TrainLog:
         tc = self.config.training
         if resume:
@@ -430,6 +664,13 @@ class Trainer:
         save_data_stats(self.checkpoints.save_dir, self.arrays)
 
         rng = jax.random.PRNGKey(tc.random_seed + 7)
+        if tc.epochs_per_dispatch > 1:
+            if self.mesh is None or tc.batch_size % self.mesh.shape["data"] == 0:
+                return self._train_block_loop(rng)
+            logger.warning(
+                "epochs_per_dispatch>1 needs batch_size divisible by the "
+                "mesh data axis; falling back to per-epoch dispatch"
+            )
         best_val = float("inf")
         total_steps = 0
         t_start = time.perf_counter()
