@@ -233,10 +233,11 @@ def train_model(config: Config, resume: bool = False, profile: bool = False):
             trainer.checkpoints.save(BEST_NAME, state)
             trainer.checkpoints.wait()
             trainer.params = new_params
-            logger.info(
-                "Fine-tune done: cooccurrence %.4f -> %.4f",
-                ft_hist["cooccurrence"][0], ft_hist["cooccurrence"][-1],
-            )
+            if ft_hist["cooccurrence"]:
+                logger.info(
+                    "Fine-tune done: cooccurrence %.4f -> %.4f",
+                    ft_hist["cooccurrence"][0], ft_hist["cooccurrence"][-1],
+                )
 
     # Persist the dim-frozen config for the generate step
     # (reference main.py:183-184) and the loss history for analysis.

@@ -134,17 +134,32 @@ def make_handler(service: GenerationService, auth_token: Optional[str] = None):
     """
 
     class Handler(BaseHTTPRequestHandler):
+        # Bound per-connection reads so a stalled client can't pin a
+        # handler thread forever.
+        timeout = 120
+
         def log_message(self, fmt, *args):
             logger.debug(fmt, *args)
 
+        @property
+        def route(self) -> str:
+            """Request path without the query string (load balancers
+            commonly probe /health?...)."""
+            return self.path.split("?", 1)[0]
+
         def _authorized(self) -> bool:
-            if auth_token is None or self.path == "/health":
+            if auth_token is None or self.route == "/health":
                 return True
             import hmac
 
             header = self.headers.get("Authorization", "")
             expected = f"Bearer {auth_token}"
-            return hmac.compare_digest(header, expected)
+            # Compare as bytes: compare_digest raises on non-ASCII str,
+            # and a malformed client header must yield 401, not a 500.
+            return hmac.compare_digest(
+                header.encode("utf-8", "surrogateescape"),
+                expected.encode("utf-8", "surrogateescape"),
+            )
 
         def _send(self, code: int, payload: Dict):
             body = json.dumps(payload).encode()
@@ -158,14 +173,14 @@ def make_handler(service: GenerationService, auth_token: Optional[str] = None):
             if not self._authorized():
                 self._send(401, {"error": "missing or invalid bearer token"})
                 return
-            if self.path == "/health":
+            if self.route == "/health":
                 self._send(200, {
                     "status": "ok",
                     "architecture": service.config.model.architecture,
                     "data_dim": service.dims.data_dim,
                     "devices": [str(d) for d in jax.devices()],
                 })
-            elif self.path == "/metrics":
+            elif self.route == "/metrics":
                 m = dict(service.metrics)
                 if m["requests"]:
                     m["mean_seconds"] = m["total_seconds"] / m["requests"]
@@ -191,7 +206,7 @@ def make_handler(service: GenerationService, auth_token: Optional[str] = None):
             if not self._authorized():
                 self._send(401, {"error": "missing or invalid bearer token"})
                 return
-            if self.path != "/generate":
+            if self.route != "/generate":
                 self._send(404, {"error": "not found"})
                 return
             try:
@@ -271,7 +286,13 @@ def serve(
 
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
         ctx.load_cert_chain(certfile=tls_cert, keyfile=tls_key)
-        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+        # Defer the handshake to the per-connection handler thread
+        # (first read/write): with the default handshake-on-accept, one
+        # stalled client would block the single accept loop — and every
+        # other connection — until it disconnects.
+        server.socket = ctx.wrap_socket(
+            server.socket, server_side=True, do_handshake_on_connect=False
+        )
     server.service = service  # for tests/introspection
     logger.info(
         "Serving on %s://%s:%d%s",

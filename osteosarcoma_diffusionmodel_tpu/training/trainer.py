@@ -129,6 +129,28 @@ def _set_learning_rate(opt_state, lr: float):
     return new_state
 
 
+def _get_learning_rate(opt_state) -> float:
+    """Read the injected learning rate out of the optax state tree
+    (inverse of `_set_learning_rate`, same structure check)."""
+    hits = []
+
+    def walk(node):
+        hp = getattr(node, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            hits.append(float(hp["learning_rate"]))
+        elif isinstance(node, (tuple, list)):
+            for c in node:
+                walk(c)
+
+    walk(opt_state)
+    if len(hits) != 1:
+        raise ValueError(
+            f"Expected exactly one inject_hyperparams(learning_rate) state "
+            f"in the optimizer chain, found {len(hits)}"
+        )
+    return hits[0]
+
+
 @dataclass
 class TrainLog:
     train_loss: List[float]
@@ -277,30 +299,39 @@ class Trainer:
 
         return step
 
-    def _make_train_epoch_scan(self):
-        step = self._make_train_step()
-        # Under a mesh, constrain each scan step's gathered batch to the
-        # `data` axis so XLA runs the step data-parallel and all-reduces
-        # the gradients — the epoch-scan fast path works multi-chip
-        # instead of reverting to per-step host dispatch (round-1 VERDICT
-        # weak #4). NamedSharding carries its mesh, so no enclosing
-        # context manager is needed.
-        data_sharding = (
-            batch_sharding(self.mesh) if self.mesh is not None else None
-        )
+    def _in_graph_gather(self, idx, constrain: bool = True):
+        """Gather a batch inside jit, with the `data`-axis sharding
+        constraint when a mesh is set and the batch divides evenly
+        (NamedSharding needs even shards; odd trailing batches — e.g.
+        the last validation group — stay replicated, mirroring
+        `_gather_batch`)."""
+        data = self._data[idx]
+        cond = self._cond[idx]
+        surv = self._surv[idx]
+        if (
+            self.mesh is not None
+            and constrain
+            and idx.shape[-1] % self.mesh.shape["data"] == 0
+        ):
+            sharding = batch_sharding(self.mesh)
+            data = jax.lax.with_sharding_constraint(data, sharding)
+            cond = jax.lax.with_sharding_constraint(cond, sharding)
+            surv = jax.lax.with_sharding_constraint(surv, sharding)
+        return data, cond, surv
 
-        def epoch(params, opt_state, batch_stats, batch_indices, rng):
+    def _make_epoch_scan_body(self, step):
+        """One epoch as a lax.scan over batches — the shared core of the
+        epoch-scan fast path and the block dispatch. Under a mesh, each
+        scan step's gathered batch is constrained to the `data` axis so
+        XLA runs the step data-parallel and all-reduces the gradients
+        (round-1 VERDICT weak #4)."""
+
+        def run_epoch(params, opt_state, batch_stats, batch_indices, rng):
             # batch_indices: (n_batches, batch_size) int32 gather indices.
             def body(carry, inputs):
                 params, opt_state, batch_stats = carry
                 idx, step_rng = inputs
-                data = self._data[idx]
-                cond = self._cond[idx]
-                surv = self._surv[idx]
-                if data_sharding is not None:
-                    data = jax.lax.with_sharding_constraint(data, data_sharding)
-                    cond = jax.lax.with_sharding_constraint(cond, data_sharding)
-                    surv = jax.lax.with_sharding_constraint(surv, data_sharding)
+                data, cond, surv = self._in_graph_gather(idx)
                 params, opt_state, batch_stats, metrics = step(
                     params, opt_state, batch_stats, data, cond, surv,
                     step_rng,
@@ -315,7 +346,10 @@ class Trainer:
             )
             return params, opt_state, batch_stats, jnp.mean(losses)
 
-        return epoch
+        return run_epoch
+
+    def _make_train_epoch_scan(self):
+        return self._make_epoch_scan_body(self._make_train_step())
 
     def _make_eval_step(self):
         def step(params, batch_stats, data, cond, surv, rng):
@@ -349,24 +383,11 @@ class Trainer:
         backend each sync costs ~0.4 s/readback, which dominates
         600-epoch runs at n=100.
         """
-        step = self._make_train_step()
+        run_epoch = self._make_epoch_scan_body(self._make_train_step())
         tc = self.config.training
         factor = tc.lr_plateau_factor
         patience = tc.lr_plateau_patience
-        data_sharding = (
-            batch_sharding(self.mesh) if self.mesh is not None else None
-        )
         val_groups = self._val_group_indices()
-
-        def gather(idx):
-            data = self._data[idx]
-            cond = self._cond[idx]
-            surv = self._surv[idx]
-            if data_sharding is not None:
-                data = jax.lax.with_sharding_constraint(data, data_sharding)
-                cond = jax.lax.with_sharding_constraint(cond, data_sharding)
-                surv = jax.lax.with_sharding_constraint(surv, data_sharding)
-            return data, cond, surv
 
         def block(
             params, opt_state, batch_stats, best_params, best_bs,
@@ -378,31 +399,19 @@ class Trainer:
                  best_val, lr, p_best, p_count) = carry
                 idx, epoch_rng = inputs
 
-                def bbody(c, binp):
-                    params, opt_state, batch_stats = c
-                    bidx, brng = binp
-                    data, cond, surv = gather(bidx)
-                    params, opt_state, batch_stats, metrics = step(
-                        params, opt_state, batch_stats, data, cond, surv,
-                        brng,
-                    )
-                    return (params, opt_state, batch_stats), metrics["loss"]
-
-                keys = jax.vmap(lambda b: jax.random.fold_in(epoch_rng, b))(
-                    jnp.arange(idx.shape[0])
+                params, opt_state, batch_stats, train_loss = run_epoch(
+                    params, opt_state, batch_stats, idx, epoch_rng
                 )
-                (params, opt_state, batch_stats), losses = jax.lax.scan(
-                    bbody, (params, opt_state, batch_stats), (idx, keys)
-                )
-                train_loss = jnp.mean(losses)
 
                 # Validation, mirroring `validate` exactly (same groups,
-                # same per-group rng folds, equal-weight group means).
+                # same per-group rng folds, equal-weight group means;
+                # odd trailing groups stay unconstrained/replicated like
+                # _gather_batch does).
                 if val_groups:
                     val_rng = jax.random.fold_in(epoch_rng, 999)
                     vlosses = []
                     for gidx, offset in val_groups:
-                        data, cond, surv = gather(gidx)
+                        data, cond, surv = self._in_graph_gather(gidx)
                         vloss, _ = self._loss_with_aux(
                             params, batch_stats, (data, cond, surv),
                             jax.random.fold_in(val_rng, offset), False,
@@ -540,6 +549,10 @@ class Trainer:
         self.opt_state = state["opt_state"]
         self.batch_stats = state["batch_stats"]
         self.start_epoch = int(state["epoch"]) + 1
+        # The restored optimizer state may carry a plateau-reduced LR;
+        # re-seed the host-side schedule so a later plateau event
+        # continues from it instead of snapping back to the base LR.
+        self.plateau.lr = _get_learning_rate(self.opt_state)
         logger.info("Resumed from epoch %d", latest)
         return True
 
@@ -567,7 +580,11 @@ class Trainer:
         best_params = jax.tree_util.tree_map(jnp.copy, self.params)
         best_bs = jax.tree_util.tree_map(jnp.copy, self.batch_stats)
         best_val = jnp.float32(jnp.inf)
-        lr = jnp.float32(self.plateau.lr)
+        # Seed the in-graph LR from the optimizer state, not the base
+        # config LR — after `resume()` the restored state may carry a
+        # plateau-reduced LR that must survive the first block's
+        # unconditional _set_learning_rate.
+        lr = jnp.float32(_get_learning_rate(self.opt_state))
         p_best = jnp.float32(jnp.inf)
         p_count = jnp.int32(0)
 
@@ -665,11 +682,16 @@ class Trainer:
 
         rng = jax.random.PRNGKey(tc.random_seed + 7)
         if tc.epochs_per_dispatch > 1:
-            if self.mesh is None or tc.batch_size % self.mesh.shape["data"] == 0:
+            # Gate on the EFFECTIVE batch (a cohort smaller than
+            # batch_size shrinks it), matching the in-scan sharding
+            # constraint's even-shard requirement.
+            eff_batch = min(tc.batch_size, len(self.train_idx))
+            if self.mesh is None or eff_batch % self.mesh.shape["data"] == 0:
                 return self._train_block_loop(rng)
             logger.warning(
-                "epochs_per_dispatch>1 needs batch_size divisible by the "
-                "mesh data axis; falling back to per-epoch dispatch"
+                "epochs_per_dispatch>1 needs the effective batch size "
+                "divisible by the mesh data axis; falling back to "
+                "per-epoch dispatch"
             )
         best_val = float("inf")
         total_steps = 0

@@ -263,3 +263,27 @@ def test_sampler_override_does_not_leak(trained_checkpoint):
     service.warmup((2,), samplers=("ddpm", "ddim"))
     assert service.config.generation.sampler == default
     assert service.metrics["requests"] == 3
+
+
+def test_auth_edge_cases(trained_checkpoint):
+    """Query-string health probes stay open; non-ASCII headers get a
+    clean 401 instead of an unhandled TypeError (code-review findings)."""
+    server = serve(trained_checkpoint, port=0, warmup=False,
+                   auth_token="tok")
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/health?ready=1")
+        assert conn.getresponse().status == 200
+
+        conn.request("GET", "/metrics?verbose=1",
+                     headers={"Authorization": "Bearer tok"})
+        assert conn.getresponse().status == 200
+
+        conn.request("GET", "/metrics",
+                     headers={"Authorization": "Bearer tok\xe9n"})
+        assert conn.getresponse().status == 401
+    finally:
+        server.shutdown()

@@ -136,3 +136,74 @@ def test_block_resume_continues(tmp_path):
     t2.train(resume=True)
     # Resumed from the epoch-9 periodic checkpoint -> only 5 more epochs.
     assert len(t2.history.train_loss) == 5
+
+
+def test_block_on_mesh_with_odd_val_group(tmp_path):
+    """Block dispatch under the virtual 8-device mesh: the trailing
+    validation group (n_val=10, batch 8 -> groups of 8 and 2) must stay
+    replicated instead of hitting an uneven sharding constraint
+    (code-review finding), and losses must match single-device block
+    training."""
+    from osteosarcoma_diffusionmodel_tpu.parallel.mesh import make_mesh
+
+    model, arrays, dims, cfg = small_setup(tmp_path / "s", epochs=4)
+    cfg.training.epochs_per_dispatch = 2
+    t_single = Trainer(model, arrays, dims, cfg)
+    hist_single = t_single.train()
+
+    model_m, arrays_m, dims_m, cfg_m = small_setup(tmp_path / "m", epochs=4)
+    cfg_m.training.epochs_per_dispatch = 2
+    t_mesh = Trainer(model_m, arrays_m, dims_m, cfg_m, mesh=make_mesh(8))
+    hist_mesh = t_mesh.train()
+
+    np.testing.assert_allclose(
+        hist_mesh.train_loss, hist_single.train_loss, rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        hist_mesh.val_loss, hist_single.val_loss, rtol=1e-3, atol=1e-4
+    )
+
+
+def test_block_gate_uses_effective_batch(tmp_path):
+    """batch_size larger than the cohort must gate on the effective
+    batch (min with cohort), not the configured one."""
+    from osteosarcoma_diffusionmodel_tpu.parallel.mesh import make_mesh
+
+    # n=20 -> train 15 with val_split .25; batch 256 -> effective 15,
+    # not divisible by 8 -> must fall back to per-epoch dispatch, not
+    # crash in the block path.
+    model, arrays, dims, cfg = small_setup(
+        tmp_path, n=20, batch=256, epochs=2
+    )
+    cfg.training.epochs_per_dispatch = 2
+    t = Trainer(model, arrays, dims, cfg, mesh=make_mesh(8))
+    hist = t.train()
+    assert len(hist.train_loss) == 2
+    assert np.isfinite(hist.train_loss).all()
+
+
+def test_block_resume_preserves_reduced_lr(tmp_path):
+    """A plateau-reduced LR restored from checkpoint must survive the
+    first block (code-review finding: it used to reset to base LR)."""
+    from osteosarcoma_diffusionmodel_tpu.training.trainer import (
+        _get_learning_rate,
+        _set_learning_rate,
+    )
+
+    model, arrays, dims, cfg = small_setup(tmp_path, epochs=10)
+    cfg.training.epochs_per_dispatch = 5
+    cfg.training.save_frequency = 5
+    t = Trainer(model, arrays, dims, cfg)
+    # Simulate a plateau reduction having happened before checkpointing.
+    t.opt_state = _set_learning_rate(t.opt_state, 2.5e-5)
+    t.train()
+
+    model2, arrays2, dims2, _ = small_setup(tmp_path, epochs=10)
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.training.num_epochs = 15
+    t2 = Trainer(model2, arrays2, dims2, cfg2)
+    t2.train(resume=True)
+    # min_delta/patience defaults never *raise* the LR; it must still be
+    # at (or below) the reduced value, not back at the 1e-4 base.
+    assert _get_learning_rate(t2.opt_state) <= 2.5e-5 + 1e-12
+    assert t2.plateau.lr <= 2.5e-5 + 1e-12
