@@ -128,6 +128,10 @@ def run_ours(workdir: Path, processed_dir: Path) -> dict:
     cfg.data.processed_dir = str(processed_dir)
     cfg.training.num_epochs = EPOCHS
     cfg.training.patience = EPOCHS
+    # Block dispatch: per-epoch semantics on device, one host sync per
+    # 25 epochs (the per-epoch sync dominated at n=100 on the tunneled
+    # backend and made "train 600 epochs" look dispatch-bound).
+    cfg.training.epochs_per_dispatch = 25
     cfg.training.save_dir = str(workdir / "ckpt")
     cfg.generation.num_synthetic_samples = N_SYNTH
     cfg.output.results_dir = str(workdir / "results")
