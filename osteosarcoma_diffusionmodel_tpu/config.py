@@ -280,6 +280,13 @@ class GenerationConfig:
     # "fixed" reproduces reference generate.py:66 ((x-800)/500);
     # "train_stats" uses the checkpointed train-time normalization.
     condition_normalization: str = "train_stats"
+    # Sample all scenarios in ONE device program (conditions are
+    # per-row anyway): bigger batches engage the fused whole-loop
+    # kernels and cut dispatch/readback count. Calibration then runs
+    # on the combined cohort (matching how validate concatenates
+    # scenarios) instead of per scenario. False = reference behavior
+    # (one generate call per scenario, generate.py:146-175).
+    batch_scenarios: bool = False
     # PRNG inside the reverse-loop scan: "rbg" (TPU hardware generator,
     # ~19x faster in-scan) | "unsafe_rbg" | "threefry" (bit-exact JAX).
     rng_impl: str = "rbg"

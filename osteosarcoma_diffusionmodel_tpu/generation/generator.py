@@ -251,12 +251,20 @@ class SyntheticPatientGenerator:
         samples = np.asarray(
             jax.block_until_ready(self._sample_raw(conditions, sample_rng))
         )
+        return self._postprocess(samples, conditions)
 
+    def _postprocess(
+        self, samples: np.ndarray, conditions
+    ) -> Dict[str, np.ndarray]:
+        """Calibrate (per config) and split a raw sample matrix into
+        modality blocks (reference generate.py:130-144)."""
         m, e = self.dims.mutation_dim, self.dims.expression_dim
         mode = self.config.generation.calibrate_marginals
         if mode is True:
             mode = "copula_full"
-        calibrate = bool(mode) and self.data_stats is not None and num_samples > 1
+        calibrate = (
+            bool(mode) and self.data_stats is not None and samples.shape[0] > 1
+        )
         if calibrate:
             mutations, continuous = self._calibrate(samples, m, str(mode))
             expression = continuous[:, : e]
@@ -383,6 +391,10 @@ class SyntheticPatientGenerator:
     ) -> Dict[str, Dict[str, np.ndarray]]:
         if rng is None:
             rng = jax.random.PRNGKey(self.config.training.random_seed)
+        if self.config.generation.batch_scenarios and len(scenarios) > 1:
+            return self._generate_scenarios_batched(
+                scenarios, samples_per_scenario, rng
+            )
         results = {}
         for i, scenario in enumerate(scenarios):
             logger.info("Scenario: %s", scenario.name)
@@ -391,6 +403,47 @@ class SyntheticPatientGenerator:
                 scenario.conditions,
                 jax.random.fold_in(rng, i),
             )
+        return results
+
+    def _generate_scenarios_batched(
+        self,
+        scenarios: List[Scenario],
+        samples_per_scenario: int,
+        rng: jax.Array,
+    ) -> Dict[str, Dict[str, np.ndarray]]:
+        """All scenarios in ONE device program (generation.batch_scenarios).
+
+        Conditions are per-row, so scenario cohorts concatenate into a
+        single sampler call — big enough to engage the fused whole-loop
+        kernels and paying one dispatch/readback instead of one per
+        scenario. Condition streams match the unbatched path exactly
+        (same per-scenario fold/split); the sample stream is one draw.
+        Calibration runs on the combined cohort, matching how the
+        validate step concatenates scenarios (reference main.py:315-317).
+        """
+        conds = []
+        for i, scenario in enumerate(scenarios):
+            cond_rng, _ = jax.random.split(jax.random.fold_in(rng, i))
+            conds.append(
+                self.create_conditions(
+                    samples_per_scenario, scenario.conditions, cond_rng
+                )
+            )
+        all_cond = jnp.concatenate(conds, axis=0)
+        logger.info(
+            "Generating %d synthetic patients (%d scenarios in one batch)...",
+            all_cond.shape[0], len(scenarios),
+        )
+        samples = np.asarray(
+            jax.block_until_ready(
+                self._sample_raw(all_cond, jax.random.fold_in(rng, 10_000))
+            )
+        )
+        combined = self._postprocess(samples, all_cond)
+        results = {}
+        for i, scenario in enumerate(scenarios):
+            sl = slice(i * samples_per_scenario, (i + 1) * samples_per_scenario)
+            results[scenario.name] = {k: v[sl] for k, v in combined.items()}
         return results
 
     # ------------------------------------------------------------------

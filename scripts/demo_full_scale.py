@@ -70,6 +70,7 @@ def main():
         cfg.generation.sampler = os.environ["DEMO_SAMPLER"]
     if "DEMO_BLOCK" in os.environ:  # epochs per jitted dispatch
         cfg.training.epochs_per_dispatch = int(os.environ["DEMO_BLOCK"])
+    cfg.generation.batch_scenarios = True  # one device program, all scenarios
     if "DEMO_SAMPLING_STEPS" in os.environ:
         cfg.generation.sampling_steps = int(os.environ["DEMO_SAMPLING_STEPS"])
     cfg.training.save_dir = str(workdir / "ckpt")

@@ -85,3 +85,37 @@ def test_ddim_path(generator):
         assert np.all(np.isfinite(out["expression"]))
     finally:
         generator.config.generation.sampler = "ddpm"
+
+
+def test_batched_scenarios_matches_unbatched_conditions(generator):
+    """generation.batch_scenarios: one device program for all
+    scenarios. Per-scenario condition encodings must be identical to
+    the unbatched path; outputs keep per-scenario shapes."""
+    from osteosarcoma_diffusionmodel_tpu.config import Scenario
+
+    scenarios = [
+        Scenario("a", {"survival_time": 300, "event_occurred": 1,
+                       "metastasis_at_diagnosis": 1}),
+        Scenario("b", {"survival_time": 1500, "event_occurred": 0,
+                       "metastasis_at_diagnosis": 0}),
+        Scenario("c", {"survival_time": 800}),
+    ]
+    rng = jax.random.PRNGKey(3)
+    generator.config.generation.batch_scenarios = False
+    try:
+        plain = generator.generate_scenarios(scenarios, 6, rng)
+        generator.config.generation.batch_scenarios = True
+        batched = generator.generate_scenarios(scenarios, 6, rng)
+    finally:
+        generator.config.generation.batch_scenarios = False
+
+    assert set(batched) == {"a", "b", "c"}
+    for name in batched:
+        for k in ("mutations", "expression", "pathways", "conditions"):
+            assert batched[name][k].shape == plain[name][k].shape
+        # Condition streams are derived identically in both paths.
+        np.testing.assert_allclose(
+            batched[name]["conditions"], plain[name]["conditions"],
+            atol=1e-6,
+        )
+        assert set(np.unique(batched[name]["mutations"])) <= {0.0, 1.0}
