@@ -55,7 +55,12 @@ def _bucket(n: int) -> int:
 class GenerationService:
     """Thread-safe wrapper around a loaded model + generator."""
 
-    def __init__(self, checkpoint_dir: str | Path, config: Optional[Config] = None):
+    def __init__(
+        self,
+        checkpoint_dir: str | Path,
+        config: Optional[Config] = None,
+        request_log_path: Optional[str] = None,
+    ):
         model, params, batch_stats, config, dims = load_trained_model(
             checkpoint_dir, config
         )
@@ -63,9 +68,22 @@ class GenerationService:
 
         self.config = config
         self.dims = dims
+        data_stats = load_data_stats(checkpoint_dir)
         self.generator = SyntheticPatientGenerator(
             model, params, config, dims, batch_stats,
-            data_stats=load_data_stats(checkpoint_dir),
+            data_stats=data_stats,
+        )
+        from .monitoring import DriftMonitor, SecureRequestLog
+
+        self.drift: Optional[DriftMonitor] = None
+        if data_stats is not None and "condition_mean" in data_stats:
+            self.drift = DriftMonitor(
+                data_stats["condition_mean"],
+                data_stats["condition_std"],
+                dims.condition_names,
+            )
+        self.request_log: Optional[SecureRequestLog] = (
+            SecureRequestLog(request_log_path) if request_log_path else None
         )
         self._lock = threading.Lock()
         self._seed = 0
@@ -122,6 +140,13 @@ class GenerationService:
             self.metrics["patients"] += num_samples
             self.metrics["total_seconds"] += dt
             self.metrics["max_seconds"] = max(self.metrics["max_seconds"], dt)
+        if self.drift is not None:
+            self.drift.update(out["conditions"][:num_samples])
+        if self.request_log is not None:
+            self.request_log.log_generation(
+                scenario, num_samples,
+                sampler or self.config.generation.sampler, dt,
+            )
         return {k: v[:num_samples] for k, v in out.items()}
 
 
@@ -184,7 +209,28 @@ def make_handler(service: GenerationService, auth_token: Optional[str] = None):
                 m = dict(service.metrics)
                 if m["requests"]:
                     m["mean_seconds"] = m["total_seconds"] / m["requests"]
+                if service.drift is not None:
+                    m["drift_score"] = service.drift.score()
                 self._send(200, m)
+            elif self.route == "/dashboard":
+                from .monitoring import render_dashboard
+
+                m = dict(service.metrics)
+                if m["requests"]:
+                    m["mean_seconds"] = m["total_seconds"] / m["requests"]
+                body = render_dashboard(
+                    m, service.drift,
+                    {
+                        "architecture": service.config.model.architecture,
+                        "data_dim": service.dims.data_dim,
+                        "conditions": ", ".join(service.dims.condition_names),
+                    },
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -262,6 +308,7 @@ def serve(
     tls_cert: Optional[str] = None,
     tls_key: Optional[str] = None,
     warmup_samplers: tuple | list = ("ddpm",),
+    request_log_path: Optional[str] = None,
 ) -> ThreadingHTTPServer:
     """Start the service (returns the server; call serve_forever()).
 
@@ -273,7 +320,9 @@ def serve(
     the socket in TLS — both optional, since production deployments
     typically terminate auth/TLS at the ingress (docs/DEPLOYMENT.md).
     """
-    service = GenerationService(checkpoint_dir, config)
+    service = GenerationService(
+        checkpoint_dir, config, request_log_path=request_log_path
+    )
     if warmup:
         service.warmup(
             (64,) if warmup is True else warmup, samplers=warmup_samplers
@@ -329,6 +378,11 @@ def main(argv=None):
         help="comma-separated samplers to pre-compile per bucket "
         "(e.g. 'ddpm,ddim')",
     )
+    parser.add_argument(
+        "--request-log",
+        help="path for the PHI-safe rotating request log (allowlisted "
+        "scenario fields only; off when unset)",
+    )
     args = parser.parse_args(argv)
     buckets = [int(b) for b in args.warmup_buckets.split(",") if b.strip()]
     samplers = [s for s in args.warmup_samplers.split(",") if s.strip()]
@@ -339,6 +393,7 @@ def main(argv=None):
         tls_cert=args.tls_cert,
         tls_key=args.tls_key,
         warmup_samplers=samplers or ("ddpm",),
+        request_log_path=args.request_log,
     )
     server.serve_forever()
 

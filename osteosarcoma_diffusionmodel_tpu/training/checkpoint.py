@@ -55,6 +55,11 @@ def save_data_stats(save_dir: Path, arrays) -> None:
         # "copula_full" calibration fits the continuous block's
         # latent-Gaussian correlation from it.
         data_matrix=arrays.data,
+        # Training condition distribution (model input space): serving
+        # drift monitoring compares requested conditions against it
+        # (serving/monitoring.py DriftMonitor).
+        condition_mean=arrays.conditions.mean(axis=0),
+        condition_std=arrays.conditions.std(axis=0),
     )
 
 

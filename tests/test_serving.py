@@ -287,3 +287,42 @@ def test_auth_edge_cases(trained_checkpoint):
         assert conn.getresponse().status == 401
     finally:
         server.shutdown()
+
+
+def test_dashboard_and_drift_over_http(trained_checkpoint, tmp_path):
+    """GET /dashboard serves the monitoring page; drift and the PHI-safe
+    request log update as requests flow (reference DEPLOYMENT.md:283-352
+    is doc-only; here it runs)."""
+    from osteosarcoma_diffusionmodel_tpu.serving.server import make_handler
+
+    service = GenerationService(
+        trained_checkpoint, request_log_path=str(tmp_path / "req.log")
+    )
+    server = __import__("http.server", fromlist=["ThreadingHTTPServer"]) \
+        .ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    server.service = service
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/generate", body=json.dumps(
+            {"num_samples": 2,
+             "scenario": {"survival_time": 500, "patient_id": "XYZ"}}))
+        assert conn.getresponse().status == 200
+
+        conn.request("GET", "/metrics")
+        metrics = json.loads(conn.getresponse().read())
+        assert "drift_score" in metrics
+
+        conn.request("GET", "/dashboard")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        html = resp.read().decode()
+        assert "Osteosarcoma Model Monitoring" in html
+        assert "Data drift" in html
+
+        text = (tmp_path / "req.log").read_text()
+        assert "survival_time" in text and "XYZ" not in text
+    finally:
+        server.shutdown()
