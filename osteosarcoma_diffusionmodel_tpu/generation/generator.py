@@ -166,7 +166,6 @@ class SyntheticPatientGenerator:
             if (
                 gen.fused_sampler
                 and guidance == 1.0
-                and not self.model.discrete_head
                 and conditions.shape[0] >= 8192 * n_data
             ):
                 fkey = gen.sampling_steps
@@ -205,7 +204,6 @@ class SyntheticPatientGenerator:
             if (
                 gen.fused_sampler
                 and guidance == 1.0
-                and not self.model.discrete_head
                 and conditions.shape[0] >= 4096 * n_data
             ):
                 if self._fused is None:

@@ -48,12 +48,15 @@ _UNIFORM_SCALE = float(2.0 * np.sqrt(3.0))  # U(-sqrt3, sqrt3), unit var
 
 
 def supports_fused(model) -> bool:
-    """The architecture/config slice this kernel implements."""
+    """The architecture/config slice this kernel implements.
+
+    The binary D3PM mutation head IS supported (round 2, continued):
+    its posterior is closed-form elementwise algebra that rides the
+    kernel's full-width arrays under a column mask (ops/discrete.py)."""
     d = model.denoiser
     return (
         model.parameterization == "x0"
         and not model.learn_sigma
-        and not model.discrete_head
         and d.input_skip
         and model.noise_type == "uniform"
         and model.clip_denoised
@@ -124,7 +127,8 @@ def _groupnorm(h, g, gt, scale, bias, group_size):
     return (h - mean_full) * inv * scale + bias
 
 
-def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode):
+def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
+                  mut_dim=0):
     """Build the kernel body. `layout` describes how the flat ref list
     maps onto layers: a list of ("block", n_in_parts, features) entries
     plus the group-matrix table. Static Python closure — unrolls to a
@@ -133,8 +137,21 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode):
     `noise_mode`: "prng" (on-chip PRNG transition noise, the DDPM
     production path), "buffer" (noise streamed in as an input, parity
     tests), or "none" (deterministic update — the eta=0 DDIM path,
-    which needs no per-step noise at all)."""
-    use_prng = noise_mode == "prng"
+    which needs no per-step noise at all).
+
+    `mut_dim`: width of the leading binary D3PM mutation block
+    (0 = continuous-only). The state's first `mut_dim` columns hold
+    bits; each step feeds the denoiser 2b-1 there, reads x0 logits
+    back, and draws the exact binary posterior with the same uniform
+    variates the continuous columns turn into transition noise
+    (ops/discrete.py posterior_prob_one, inlined elementwise under a
+    column mask). With "none" (eta=0 DDIM) the continuous update is
+    deterministic but bit draws still consume the on-chip PRNG."""
+    # PRNG is needed for transition noise ("prng") and for bit draws
+    # whenever a mutation block exists without an injected buffer.
+    need_prng = noise_mode == "prng" or (
+        mut_dim > 0 and noise_mode != "buffer"
+    )
 
     def kernel(*refs):
         seed_ref, coeff_ref, x_ref, cproj_ref, tadd_ref = refs[:5]
@@ -156,10 +173,27 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode):
         for k, feat in enumerate(layout["gn_features"]):
             gn_table[feat] = (gmat_refs[2 * k], gmat_refs[2 * k + 1])
 
-        if use_prng:
+        if need_prng:
             pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
 
         cproj = cproj_ref[:].astype(jnp.float32)
+        # The mutation block occupies the first `mut_pad` lanes (M
+        # rounded up to the 128-lane boundary); all discrete algebra
+        # runs on that narrow slice so the posterior's ~15 elementwise
+        # ops cost ~MP/D of full-width VPU work.
+        mut_pad = min(data_dim, -(-mut_dim // 128) * 128) if mut_dim else 0
+        if mut_dim:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, mut_pad), 1)
+            mut_mask = (col < mut_dim).astype(jnp.float32)
+
+        def prng_uniform(width=data_dim):
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((tile_b, width)), jnp.uint32
+            )
+            # uint32 -> f32 is unsupported in Mosaic; the top-24-bit
+            # value fits int32 exactly.
+            b24 = pltpu.bitcast(bits >> 8, jnp.int32)
+            return b24.astype(jnp.float32) * (1.0 / (1 << 24))
 
         def run_block(h_parts, refs_for_block, n_parts, features):
             # h_parts: list of f32 inputs (the decoder's concat operands)
@@ -188,9 +222,18 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode):
         n_enc = layout["n_encoder"]
 
         def denoise(x_bf16, s):
+            # The denoiser sees 2b-1 on mutation columns (scan parity:
+            # models/diffusion.py x_in); continuous columns pass through.
             xf = x_bf16.astype(jnp.float32)
+            if mut_dim:
+                left = (1.0 + mut_mask) * xf[:, :mut_pad] - mut_mask
+                if mut_pad < data_dim:
+                    xf = jnp.concatenate([left, xf[:, mut_pad:]], axis=1)
+                else:
+                    xf = left
             h = jnp.dot(
-                x_bf16, w_in_ref[:], preferred_element_type=jnp.float32
+                xf.astype(jnp.bfloat16), w_in_ref[:],
+                preferred_element_type=jnp.float32,
             )
             # Dynamic single-row VMEM loads need 8-aligned indices; a
             # one-hot matmul row-select is unconstrained and cheap
@@ -228,33 +271,70 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode):
                 preferred_element_type=jnp.float32,
             ) + b_out_ref[:]
             gain = coeff_ref[s, 3]
-            out = out + gain * xf
-            return jnp.clip(out, -clip_value, clip_value)
+            # Raw prediction: x0 for continuous columns, x0-bit LOGITS
+            # for mutation columns (clip applied by the caller to the
+            # continuous part only).
+            return out + gain * xf
 
         def body(s, x):
-            x0 = denoise(x, s)
-            if noise_mode == "none":
-                # Deterministic (eta=0 DDIM) update; the coefficient
-                # table already folds the x0/x_t mixing per step.
-                c0 = coeff_ref[s, 0]
-                c1 = coeff_ref[s, 1]
-                x_new = c0 * x0 + c1 * x.astype(jnp.float32)
-                return x_new.astype(jnp.bfloat16)
-            if use_prng:
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits((tile_b, data_dim)), jnp.uint32
-                )
-                # uint32 -> f32 is unsupported in Mosaic; the top-24-bit
-                # value fits int32 exactly.
-                b24 = pltpu.bitcast(bits >> 8, jnp.int32)
-                u = b24.astype(jnp.float32) * (1.0 / (1 << 24))
-                z = (u - 0.5) * _UNIFORM_SCALE
-            else:
-                z = noise_ref[s].astype(jnp.float32)
+            out = denoise(x, s)
+            x0 = jnp.clip(out, -clip_value, clip_value)
+            xf = x.astype(jnp.float32)
             c0 = coeff_ref[s, 0]
             c1 = coeff_ref[s, 1]
-            sv = coeff_ref[s, 2]
-            x_new = c0 * x0 + c1 * x.astype(jnp.float32) + sv * z
+
+            # Per-step uniforms: continuous transition noise and
+            # mutation bit draws share one full-width draw ("prng"/
+            # "buffer"); the deterministic DDIM path draws only the
+            # narrow mutation slice.
+            u_m = None
+            if noise_mode == "prng":
+                u = prng_uniform()
+                z = (u - 0.5) * _UNIFORM_SCALE
+                if mut_dim:
+                    u_m = u[:, :mut_pad]
+            elif noise_mode == "buffer":
+                z = noise_ref[s].astype(jnp.float32)
+                if mut_dim:
+                    u_m = z[:, :mut_pad] * (1.0 / _UNIFORM_SCALE) + 0.5
+            elif mut_dim:  # "none" (eta=0 DDIM) still draws bits
+                u_m = prng_uniform(mut_pad)
+
+            if noise_mode == "none":
+                # Deterministic (eta=0 DDIM) continuous update; the
+                # coefficient table folds the x0/x_t mixing per step.
+                cont_new = c0 * x0 + c1 * xf
+            else:
+                sv = coeff_ref[s, 2]
+                cont_new = c0 * x0 + c1 * xf + sv * z
+
+            if not mut_dim:
+                return cont_new.astype(jnp.bfloat16)
+
+            # Binary D3PM posterior on the (lane-padded) mutation slice
+            # (ops/discrete.py posterior_prob_one, elementwise).
+            beta = coeff_ref[s, 4]
+            acp_prev = coeff_ref[s, 5]
+            xm = xf[:, :mut_pad]
+            p1 = jax.nn.sigmoid(out[:, :mut_pad])
+            half_beta = 0.5 * beta
+            f1 = (1.0 - beta) * xm + half_beta
+            f0 = (1.0 - beta) * (1.0 - xm) + half_beta
+            half_om = 0.5 * (1.0 - acp_prev)
+            g_same = acp_prev + half_om
+            a1_i1 = f1 * g_same
+            a0_i1 = f0 * half_om
+            a1_i0 = f1 * half_om
+            a0_i0 = f0 * g_same
+            post1_i1 = a1_i1 / (a1_i1 + a0_i1)
+            post1_i0 = a1_i0 / (a1_i0 + a0_i0)
+            p_prev = p1 * post1_i1 + (1.0 - p1) * post1_i0
+            mut_new = (u_m < p_prev).astype(jnp.float32)
+            left = mut_mask * mut_new + (1.0 - mut_mask) * cont_new[:, :mut_pad]
+            if mut_pad < data_dim:
+                x_new = jnp.concatenate([left, cont_new[:, mut_pad:]], axis=1)
+            else:
+                x_new = left
             return x_new.astype(jnp.bfloat16)
 
         out_ref[:] = jax.lax.fori_loop(0, T, body, x_ref[:])
@@ -331,11 +411,34 @@ class FusedSampler:
             coef_xt = np.sqrt((1.0 - acp_prev) / (1.0 - acp_t))
             coef_x0 = np.sqrt(acp_prev) - coef_xt * np.sqrt(acp_t)
             sqrt_var = np.zeros_like(coef_x0)
+
+        # Binary D3PM mutation-block columns (zeros when the model has
+        # no discrete head). DDPM uses the one-step (beta_t, acp_{t-1})
+        # pair; DDIM composes the strided jump into an effective flip
+        # rate 1 - acp_t/acp_prev (the uniform chain composes exactly,
+        # models/diffusion.py sample_ddim). The last row's acp_prev = 1
+        # collapses the posterior to the predicted x0 Bernoulli — bits
+        # exit binary with correct per-gene frequencies.
+        self.mut_dim = model.mutation_dim if model.discrete_head else 0
+        acp_full = np.asarray(sched.alphas_cumprod, np.float64)
+        if self.mut_dim:
+            if ddim_steps is None:
+                mut_beta = np.asarray(sched.betas, np.float64)[ts]
+                mut_acp_prev = np.where(
+                    ts >= 1, acp_full[np.maximum(ts - 1, 0)], 1.0
+                )
+            else:
+                mut_acp_prev = acp_prev
+                mut_beta = 1.0 - acp_full[ts] / mut_acp_prev
+        else:
+            mut_beta = np.zeros_like(coef_x0)
+            mut_acp_prev = np.zeros_like(coef_x0)
         self.coeffs = jnp.asarray(
             np.stack(
-                [coef_x0, coef_xt, sqrt_var, gains[:, 0]], axis=1
+                [coef_x0, coef_xt, sqrt_var, gains[:, 0],
+                 mut_beta, mut_acp_prev], axis=1
             ).astype(np.float32)
-        )  # (n_loop, 4)
+        )  # (n_loop, 6)
 
         # --- weights, flattened in kernel order -----------------------
         hidden = self.hidden
@@ -384,6 +487,7 @@ class FusedSampler:
         kernel = _build_kernel(
             self.layout, T, tile_b, D,
             self.model.denoised_clip_value, noise_mode,
+            mut_dim=self.mut_dim,
         )
 
         def full_spec(shape, space=pltpu.VMEM):
@@ -425,6 +529,22 @@ class FusedSampler:
         return self._fns[key]
 
     # ------------------------------------------------------------------
+    def _x_init(self, init_rng: jax.Array, b_padded: int) -> jnp.ndarray:
+        """x_T prior: Gaussian for continuous columns; uniform
+        Bernoulli(1/2) bits on the mutation block with a discrete head
+        (scan parity: models/diffusion.py sample())."""
+        D = self.data_dim
+        if not self.mut_dim:
+            return jax.random.normal(init_rng, (b_padded, D), jnp.bfloat16)
+        cont_rng, bit_rng = jax.random.split(init_rng)
+        bits = jax.random.bernoulli(
+            bit_rng, 0.5, (b_padded, self.mut_dim)
+        ).astype(jnp.bfloat16)
+        cont = jax.random.normal(
+            cont_rng, (b_padded, D - self.mut_dim), jnp.bfloat16
+        )
+        return jnp.concatenate([bits, cont], axis=1)
+
     def sample(
         self,
         conditions: jnp.ndarray,
@@ -450,7 +570,7 @@ class FusedSampler:
         if pad_b:
             c_proj = jnp.pad(c_proj, ((0, pad_b), (0, 0)))
         b_padded = num_samples + pad_b
-        x_init = jax.random.normal(init_rng, (b_padded, D), jnp.bfloat16)
+        x_init = self._x_init(init_rng, b_padded)
         seed = jax.random.bits(seed_rng, (), jnp.uint32).astype(
             jnp.int32
         ).reshape(1, 1)
@@ -505,7 +625,7 @@ class FusedSampler:
         ).astype(jnp.bfloat16)
         if pad_b:
             c_proj = jnp.pad(c_proj, ((0, pad_b), (0, 0)))
-        x_init = jax.random.normal(init_rng, (b_padded, D), jnp.bfloat16)
+        x_init = self._x_init(init_rng, b_padded)
         # One independent seed per device (the kernel further folds in
         # the grid-cell index).
         seeds = jax.random.bits(seed_rng, (n_dev, 1), jnp.uint32).astype(

@@ -137,6 +137,20 @@ def main():
     dt = timeit(f_disc, params, cond_s, jax.random.PRNGKey(3), n=2)
     results["ddpm1000_discrete_head_patients_per_sec_b4096"] = 4096 / dt
 
+    # Discrete head through the fused whole-loop kernel (the D3PM
+    # posterior rides the kernel on a 128-lane slice).
+    fused_disc = maybe_fused_sampler(model_disc, params)
+    if fused_disc is not None:
+        for batch_s in (4096, 32768):
+            cond_s = jnp.zeros((batch_s, C))
+            dt = timeit(
+                lambda c, k: fused_disc.sample(c, k),
+                cond_s, jax.random.PRNGKey(3), n=2,
+            )
+            results[
+                f"ddpm1000_discrete_fused_patients_per_sec_b{batch_s}"
+            ] = batch_s / dt
+
     # Round-1 sampler numerics (f32 carry + gaussian transition noise)
     # for the ablation record.
     import dataclasses

@@ -269,3 +269,144 @@ def test_fused_ddim_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(single), np.asarray(sharded), atol=1e-2, rtol=1e-2
     )
+
+
+def make_discrete_model(num_steps=20, hidden=(128, 256, 128),
+                        data_dims=(10, 40, 14)):
+    cfg = Config()
+    cfg.model.hidden_dims = list(hidden)
+    cfg.model.latent_dim = 32
+    cfg.model.diffusion.num_steps = num_steps
+    cfg.model.diffusion.discrete_mutation_head = True
+    cfg.model.constraints.enabled = False
+    cfg.generation.noise_type = "uniform"
+    cfg.generation.sample_dtype = "bfloat16"
+    dims = cfg.freeze_dims(*data_dims, ["a", "b", "c"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    return model, params, dims
+
+
+def reference_discrete_loop(model, params, conditions, rng, noise):
+    """bf16-carry DDPM loop with the binary D3PM mutation block,
+    mirroring the fused kernel's algebra: denoiser input 2b-1 on the
+    mutation columns, continuous-only clip, posterior bit draws from
+    the SAME uniforms the continuous columns turn into noise."""
+    from osteosarcoma_diffusionmodel_tpu.ops.discrete import posterior_prob_one
+    from osteosarcoma_diffusionmodel_tpu.ops.fused_sampler import (
+        _UNIFORM_SCALE,
+    )
+
+    sched = model.schedule
+    T = sched.num_steps
+    B = conditions.shape[0]
+    D = model.denoiser.data_dim
+    M = model.mutation_dim
+    init_rng, _ = jax.random.split(rng)
+    cont_rng, bit_rng = jax.random.split(init_rng)
+    bits = jax.random.bernoulli(bit_rng, 0.5, (B, M)).astype(jnp.bfloat16)
+    cont = jax.random.normal(cont_rng, (B, D - M), jnp.bfloat16)
+    x = jnp.concatenate([bits, cont], axis=1)
+
+    acp = np.asarray(sched.alphas_cumprod)
+    betas = np.asarray(sched.betas)
+    coef_x0 = np.asarray(sched.posterior_coef_x0)
+    coef_xt = np.asarray(sched.posterior_coef_xt)
+    sqrt_var = np.sqrt(np.asarray(sched.posterior_variance))
+    for s, t in enumerate(range(T - 1, -1, -1)):
+        xf = x.astype(jnp.float32)
+        x_in = xf.at[:, :M].set(2.0 * xf[:, :M] - 1.0)
+        t_vec = jnp.full((B,), t / T, jnp.float32)
+        out = model.denoiser.apply(
+            {"params": params}, x_in, t_vec,
+            conditions=conditions, deterministic=True,
+        )
+        x0 = jnp.clip(out, -model.denoised_clip_value,
+                      model.denoised_clip_value)
+        z = noise[s]
+        u = z * (1.0 / _UNIFORM_SCALE) + 0.5
+        if t > 0:
+            cont_new = (coef_x0[t] * x0 + coef_xt[t] * xf
+                        + sqrt_var[t] * z)
+            beta_t, acp_prev = betas[t], acp[t - 1]
+        else:
+            cont_new = x0
+            beta_t, acp_prev = betas[0], 1.0
+        p_prev = posterior_prob_one(
+            xf[:, :M], jax.nn.sigmoid(out[:, :M]), beta_t, acp_prev
+        )
+        mut_new = (u[:, :M] < p_prev).astype(jnp.float32)
+        x = jnp.concatenate(
+            [mut_new, cont_new[:, M:]], axis=1
+        ).astype(jnp.bfloat16)
+    return x.astype(jnp.float32)
+
+
+def test_fused_discrete_matches_reference_loop_interpret():
+    model, params, dims = make_discrete_model()
+    assert supports_fused(model)
+    B, T, D = 2 * TILE_B, model.schedule.num_steps, dims.data_dim
+    M = dims.mutation_dim
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, dims.condition_dim))
+    rng = jax.random.PRNGKey(2)
+    # Uniform-derived noise so the kernel's u-recovery is exact.
+    from osteosarcoma_diffusionmodel_tpu.ops.fused_sampler import (
+        _UNIFORM_SCALE,
+    )
+    u = jax.random.uniform(jax.random.PRNGKey(3), (T, B, D))
+    noise = (u - 0.5) * _UNIFORM_SCALE
+
+    sampler = FusedSampler(model, params, tile_b=TILE_B, interpret=True)
+    assert sampler.mut_dim == M
+    fused = np.asarray(sampler.sample(cond, rng, noise=noise))
+    ref = np.asarray(reference_discrete_loop(model, params, cond, rng, noise))
+
+    # Continuous block: same tolerance as the continuous-only test.
+    np.testing.assert_allclose(fused[:, M:], ref[:, M:], atol=0.15, rtol=0.05)
+    # Mutation block: exact bits except where kernel-vs-Flax numerics
+    # move p_prev across a uniform draw (rare).
+    assert set(np.unique(fused[:, :M])) <= {0.0, 1.0}
+    mismatch = np.mean(fused[:, :M] != ref[:, :M])
+    assert mismatch < 0.05, mismatch
+    np.testing.assert_allclose(
+        fused[:, :M].mean(0), ref[:, :M].mean(0), atol=0.1
+    )
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform not in ("tpu", "axon"),
+    reason="on-chip PRNG path requires TPU",
+)
+def test_fused_discrete_prng_statistics_match_scan():
+    model, params, dims = make_discrete_model(num_steps=50)
+    B, M = 512, dims.mutation_dim
+    cond = jnp.zeros((B, dims.condition_dim))
+    sampler = FusedSampler(model, params, tile_b=128)
+    fused = np.asarray(sampler.sample(cond, jax.random.PRNGKey(0)))
+    scan = np.asarray(model.sample(params, cond, jax.random.PRNGKey(0)))
+    assert set(np.unique(fused[:, :M])) <= {0.0, 1.0}
+    np.testing.assert_allclose(
+        fused[:, :M].mean(0), scan[:, :M].mean(0), atol=0.12
+    )
+    np.testing.assert_allclose(
+        fused[:, M:].mean(0), scan[:, M:].mean(0), atol=0.1
+    )
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform not in ("tpu", "axon"),
+    reason="on-chip PRNG path requires TPU",
+)
+def test_fused_discrete_ddim_statistics_match_scan():
+    model, params, dims = make_discrete_model(num_steps=50)
+    B, M = 512, dims.mutation_dim
+    cond = jnp.zeros((B, dims.condition_dim))
+    sampler = FusedSampler(model, params, tile_b=128, ddim_steps=10)
+    fused = np.asarray(sampler.sample(cond, jax.random.PRNGKey(0)))
+    scan = np.asarray(jax.jit(
+        lambda p, c, k: model.sample_ddim(p, c, k, num_sampling_steps=10)
+    )(params, cond, jax.random.PRNGKey(0)))
+    assert set(np.unique(fused[:, :M])) <= {0.0, 1.0}
+    np.testing.assert_allclose(
+        fused[:, :M].mean(0), scan[:, :M].mean(0), atol=0.12
+    )
