@@ -180,6 +180,31 @@ def main():
                 batch_s / dt
             )
 
+    # Alternate model families: one-pass samplers (flow inverse pass,
+    # cVAE decoder) at production dims, batch 4096.
+    from osteosarcoma_diffusionmodel_tpu.models.cvae import (
+        BiologyConstrainedVAE,
+    )
+    from osteosarcoma_diffusionmodel_tpu.models.flow import ConditionalFlow
+
+    flow = ConditionalFlow.from_config(config, dims)
+    flow_params = flow.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    cond_s = jnp.zeros((4096, C))
+    f_flow = jax.jit(lambda p, c, k: flow.sample(p, c, k))
+    dt = timeit(f_flow, flow_params, cond_s, jax.random.PRNGKey(3), n=2)
+    results["flow_patients_per_sec_b4096"] = 4096 / dt
+
+    vae = BiologyConstrainedVAE.from_config(config, dims)
+    vae_vars = vae.init_variables(jax.random.PRNGKey(0), dims.condition_dim)
+    f_vae = jax.jit(
+        lambda p, bs, c, k: vae.sample(p, bs, c, k)
+    )
+    dt = timeit(
+        f_vae, vae_vars["params"], vae_vars["batch_stats"], cond_s,
+        jax.random.PRNGKey(3), n=2,
+    )
+    results["cvae_patients_per_sec_b4096"] = 4096 / dt
+
     # Validation statistics at 10k-cohort scale.
     real = jax.random.normal(jax.random.PRNGKey(4), (100, dims.data_dim))
     synth = jax.random.normal(jax.random.PRNGKey(5), (10000, dims.data_dim))
