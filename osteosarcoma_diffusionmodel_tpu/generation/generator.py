@@ -69,10 +69,10 @@ class SyntheticPatientGenerator:
         # Cholesky, cached across scenarios.
         self._copula = None
         self._cont_chol = None
-        # Fused Pallas sampler (ops/fused_sampler.py), built lazily;
+        # Fused Pallas samplers (ops/fused_sampler.py), probed lazily
+        # per variant; key None = DDPM, int = that many DDIM steps;
         # False = probed and unsupported.
-        self._fused = None
-        self._fused_ddim = {}
+        self._fused_cache = {}
 
     # ------------------------------------------------------------------
     def create_conditions(
@@ -122,6 +122,25 @@ class SyntheticPatientGenerator:
         return jnp.asarray(np.tile(row, (num_samples, 1)))
 
     # ------------------------------------------------------------------
+    def _get_fused(self, params, ddim_steps=None):
+        """Probe + cache the fused whole-loop sampler for a variant
+        (None = DDPM, int = strided DDIM); False when the config or
+        backend doesn't support it."""
+        if ddim_steps not in self._fused_cache:
+            from ..ops.fused_sampler import maybe_fused_sampler
+
+            self._fused_cache[ddim_steps] = (
+                maybe_fused_sampler(self.model, params, ddim_steps=ddim_steps)
+                or False
+            )
+            logger.info(
+                "Fused Pallas %s sampler: %s",
+                f"DDIM-{ddim_steps}" if ddim_steps else "DDPM",
+                "engaged" if self._fused_cache[ddim_steps] else
+                "unsupported config, using scan sampler",
+            )
+        return self._fused_cache[ddim_steps]
+
     def _sample_raw(
         self, conditions: jnp.ndarray, rng: jax.Array
     ) -> jnp.ndarray:
@@ -168,21 +187,7 @@ class SyntheticPatientGenerator:
                 and guidance == 1.0
                 and conditions.shape[0] >= 8192 * n_data
             ):
-                fkey = gen.sampling_steps
-                if fkey not in self._fused_ddim:
-                    from ..ops.fused_sampler import maybe_fused_sampler
-
-                    self._fused_ddim[fkey] = (
-                        maybe_fused_sampler(
-                            self.model, params, ddim_steps=fkey
-                        ) or False
-                    )
-                    logger.info(
-                        "Fused Pallas DDIM sampler: %s",
-                        "engaged" if self._fused_ddim[fkey] else
-                        "unsupported config, using scan sampler",
-                    )
-                fused = self._fused_ddim[fkey]
+                fused = self._get_fused(params, ddim_steps=gen.sampling_steps)
                 if fused is not False:
                     if self.mesh is not None:
                         return fused.sample_sharded(self.mesh, conditions, rng)
@@ -206,23 +211,11 @@ class SyntheticPatientGenerator:
                 and guidance == 1.0
                 and conditions.shape[0] >= 4096 * n_data
             ):
-                if self._fused is None:
-                    from ..ops.fused_sampler import maybe_fused_sampler
-
-                    self._fused = (
-                        maybe_fused_sampler(self.model, params) or False
-                    )
-                    logger.info(
-                        "Fused Pallas sampler: %s",
-                        "engaged" if self._fused else
-                        "unsupported config, using scan sampler",
-                    )
-                if self._fused is not False:
+                fused = self._get_fused(params)
+                if fused is not False:
                     if self.mesh is not None:
-                        return self._fused.sample_sharded(
-                            self.mesh, conditions, rng
-                        )
-                    return self._fused.sample(conditions, rng)
+                        return fused.sample_sharded(self.mesh, conditions, rng)
+                    return fused.sample(conditions, rng)
             key = ("ddpm", guidance)
             if key not in self._sample_fns:
                 g = guidance

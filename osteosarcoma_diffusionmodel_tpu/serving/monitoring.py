@@ -114,14 +114,17 @@ class DriftMonitor:
         self._lock = threading.Lock()
 
     def update(self, conditions: np.ndarray) -> None:
-        """Accumulate a (B, C) batch of requested condition rows."""
+        """Accumulate a (B, C) batch of requested condition rows
+        (single vectorized mean merge, not per-row)."""
         conditions = np.asarray(conditions, np.float64)
         if conditions.ndim == 1:
             conditions = conditions[None, :]
+        b = conditions.shape[0]
+        batch_mean = conditions.mean(axis=0)
         with self._lock:
-            for row in conditions:
-                self.count += 1
-                self._mean += (row - self._mean) / self.count
+            new_count = self.count + b
+            self._mean += (batch_mean - self._mean) * (b / new_count)
+            self.count = new_count
 
     def per_feature(self) -> Dict[str, float]:
         if self.count == 0:

@@ -149,6 +149,15 @@ class GenerationService:
             )
         return {k: v[:num_samples] for k, v in out.items()}
 
+    def metrics_summary(self) -> Dict[str, float]:
+        """Metrics dict with derived fields (mean latency, drift)."""
+        m = dict(self.metrics)
+        if m["requests"]:
+            m["mean_seconds"] = m["total_seconds"] / m["requests"]
+        if self.drift is not None:
+            m["drift_score"] = self.drift.score()
+        return m
+
 
 def make_handler(service: GenerationService, auth_token: Optional[str] = None):
     """Build the request handler.
@@ -206,20 +215,12 @@ def make_handler(service: GenerationService, auth_token: Optional[str] = None):
                     "devices": [str(d) for d in jax.devices()],
                 })
             elif self.route == "/metrics":
-                m = dict(service.metrics)
-                if m["requests"]:
-                    m["mean_seconds"] = m["total_seconds"] / m["requests"]
-                if service.drift is not None:
-                    m["drift_score"] = service.drift.score()
-                self._send(200, m)
+                self._send(200, service.metrics_summary())
             elif self.route == "/dashboard":
                 from .monitoring import render_dashboard
 
-                m = dict(service.metrics)
-                if m["requests"]:
-                    m["mean_seconds"] = m["total_seconds"] / m["requests"]
                 body = render_dashboard(
-                    m, service.drift,
+                    service.metrics_summary(), service.drift,
                     {
                         "architecture": service.config.model.architecture,
                         "data_dim": service.dims.data_dim,

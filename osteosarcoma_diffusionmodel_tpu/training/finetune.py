@@ -66,11 +66,11 @@ def sample_path_finetune(
             "sample-path fine-tuning requires the continuous mutation "
             "path (discrete D3PM bit draws have no pathwise gradient)"
         )
-    M = model.constraint_spec.mutation_dim if model.constraint_spec else None
-    # The mutation block width comes from the data layout, not the
-    # constraint spec (which may be disabled): callers pass it via the
-    # model's own mutation_dim field.
-    M = model.mutation_dim or M
+    # from_config always stamps mutation_dim; a spec-carrying model
+    # built by hand can fall back to its constraint layout.
+    M = model.mutation_dim or (
+        model.constraint_spec.mutation_dim if model.constraint_spec else 0
+    )
     if not M:
         raise ValueError("model.mutation_dim must be set for fine-tuning")
 
