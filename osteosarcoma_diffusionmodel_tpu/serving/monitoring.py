@@ -49,16 +49,24 @@ class SecureRequestLog:
         max_bytes: int = 10 * 1024 * 1024,
         backup_count: int = 5,
     ):
-        self.logger = logging.getLogger(f"osdm.requests.{id(self)}")
-        self.logger.setLevel(logging.INFO)
+        # A standalone Logger, NOT logging.getLogger(): registry
+        # loggers are immortal, so a name keyed on id(self) can be
+        # re-issued after GC and hand a new instance the previous
+        # instance's handler (duplicate lines + a leaked descriptor
+        # per instantiation).
+        self.logger = logging.Logger("osdm.requests", logging.INFO)
         self.logger.propagate = False  # never leak into app logs
-        handler = RotatingFileHandler(
+        self._handler = RotatingFileHandler(
             path, maxBytes=max_bytes, backupCount=backup_count
         )
-        handler.setFormatter(
+        self._handler.setFormatter(
             logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
         )
-        self.logger.addHandler(handler)
+        self.logger.addHandler(self._handler)
+
+    def close(self) -> None:
+        self.logger.removeHandler(self._handler)
+        self._handler.close()
 
     def log_generation(
         self, scenario: Optional[Dict], num_samples: int, sampler: str,
@@ -163,8 +171,9 @@ def render_dashboard(
             for k, v in drift.per_feature().items()
         )
         drift_html = (
-            f"<p>Drift score (mean |z| of request means vs training): "
-            f"<b>{score:.4f}</b> over {drift.count} requests</p>{alert}"
+            f"<p>Drift score (mean |z| of requested-condition means vs "
+            f"training): <b>{score:.4f}</b> over {drift.count} requested "
+            f"patients</p>{alert}"
             f"<table><tr><th>condition</th><th>|z| shift</th></tr>{per}"
             f"</table>"
         )

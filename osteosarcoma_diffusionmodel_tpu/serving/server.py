@@ -109,12 +109,18 @@ class GenerationService:
             for b in sorted(
                 set(_bucket(int(b)) for b in batches), reverse=True
             ):
-                self.generate(b, scenario={"survival_time": 800}, sampler=s)
+                self.generate(
+                    b, scenario={"survival_time": 800}, sampler=s,
+                    internal=True,
+                )
 
     def generate(
         self, num_samples: int, scenario: Optional[Dict] = None,
-        sampler: Optional[str] = None,
+        sampler: Optional[str] = None, internal: bool = False,
     ) -> Dict[str, np.ndarray]:
+        """`internal` marks warmup/self-test traffic: it compiles and
+        counts toward latency metrics but must not pollute the drift
+        monitor or the request audit log."""
         if not 1 <= num_samples <= MAX_BATCH:
             raise ValueError(f"num_samples must be in [1, {MAX_BATCH}]")
         bucket = _bucket(num_samples)
@@ -140,13 +146,14 @@ class GenerationService:
             self.metrics["patients"] += num_samples
             self.metrics["total_seconds"] += dt
             self.metrics["max_seconds"] = max(self.metrics["max_seconds"], dt)
-        if self.drift is not None:
-            self.drift.update(out["conditions"][:num_samples])
-        if self.request_log is not None:
-            self.request_log.log_generation(
-                scenario, num_samples,
-                sampler or self.config.generation.sampler, dt,
-            )
+        if not internal:
+            if self.drift is not None:
+                self.drift.update(out["conditions"][:num_samples])
+            if self.request_log is not None:
+                self.request_log.log_generation(
+                    scenario, num_samples,
+                    sampler or self.config.generation.sampler, dt,
+                )
         return {k: v[:num_samples] for k, v in out.items()}
 
     def metrics_summary(self) -> Dict[str, float]:

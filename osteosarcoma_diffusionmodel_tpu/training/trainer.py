@@ -91,25 +91,21 @@ class PlateauLR:
         return self.lr
 
 
-def _set_learning_rate(opt_state, lr: float):
-    """Update the injected learning rate wherever it lives in the optax
-    state tree.
-
-    Structure-checked: walks the (nested-tuple) state for nodes carrying
-    an ``hyperparams['learning_rate']`` entry (optax
-    ``InjectHyperparamsState``) and raises if none or more than one is
-    found — so any change to the optimizer chain fails loudly instead of
-    silently freezing the plateau schedule (round-1 VERDICT weak #5).
-    """
+def _walk_lr_state(opt_state, visit):
+    """Walk the (nested-tuple) optax state for nodes carrying an
+    ``hyperparams['learning_rate']`` entry (``InjectHyperparamsState``),
+    apply ``visit(node) -> node`` to each, and structure-check that
+    exactly ONE exists — so any change to the optimizer chain fails
+    loudly instead of silently breaking the plateau schedule (round-1
+    VERDICT weak #5). Shared by the getter and setter below so the
+    traversal can never drift between them."""
     hits = [0]
 
     def walk(node):
         hp = getattr(node, "hyperparams", None)
         if isinstance(hp, dict) and "learning_rate" in hp:
             hits[0] += 1
-            new_hp = dict(hp)
-            new_hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
-            return node._replace(hyperparams=new_hp)
+            return visit(node)
         if isinstance(node, tuple):
             children = tuple(walk(c) for c in node)
             if hasattr(node, "_fields"):  # namedtuple
@@ -129,26 +125,29 @@ def _set_learning_rate(opt_state, lr: float):
     return new_state
 
 
+def _set_learning_rate(opt_state, lr: float):
+    """Update the injected learning rate wherever it lives in the optax
+    state tree (structure-checked, see `_walk_lr_state`)."""
+
+    def replace(node):
+        new_hp = dict(node.hyperparams)
+        new_hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        return node._replace(hyperparams=new_hp)
+
+    return _walk_lr_state(opt_state, replace)
+
+
 def _get_learning_rate(opt_state) -> float:
     """Read the injected learning rate out of the optax state tree
-    (inverse of `_set_learning_rate`, same structure check)."""
-    hits = []
+    (inverse of `_set_learning_rate`, same walk + structure check)."""
+    found = []
 
-    def walk(node):
-        hp = getattr(node, "hyperparams", None)
-        if isinstance(hp, dict) and "learning_rate" in hp:
-            hits.append(float(hp["learning_rate"]))
-        elif isinstance(node, (tuple, list)):
-            for c in node:
-                walk(c)
+    def read(node):
+        found.append(float(node.hyperparams["learning_rate"]))
+        return node
 
-    walk(opt_state)
-    if len(hits) != 1:
-        raise ValueError(
-            f"Expected exactly one inject_hyperparams(learning_rate) state "
-            f"in the optimizer chain, found {len(hits)}"
-        )
-    return hits[0]
+    _walk_lr_state(opt_state, read)
+    return found[0]
 
 
 @dataclass

@@ -89,3 +89,24 @@ def test_render_dashboard_alerts_on_drift():
     assert "drift detected" not in quiet.lower()
     none = render_dashboard({"requests": 0}, None, {})
     assert "No drift monitor" in none
+
+
+def test_secure_log_instances_do_not_share_handlers(tmp_path):
+    """Recreating the log (service restarts, tests) must not duplicate
+    handlers via logger-registry name reuse (code-review finding)."""
+    import gc
+
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"r{i}.log"
+        log = SecureRequestLog(str(p))
+        assert len(log.logger.handlers) == 1, i
+        log.log_generation({"survival_time": 100 + i}, 1, "ddpm", 0.1)
+        log.close()
+        paths.append(p)
+        del log
+        gc.collect()
+    # Each file got exactly its own single line.
+    for i, p in enumerate(paths):
+        lines = p.read_text().strip().splitlines()
+        assert len(lines) == 1, (i, lines)

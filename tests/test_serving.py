@@ -362,3 +362,22 @@ def test_serving_discrete_head_checkpoint(tmp_path_factory):
     assert set(np.unique(out["mutations"])) <= {0.0, 1.0}
     out_ddim = service.generate(3, {"survival_time": 700}, sampler="ddim")
     assert set(np.unique(out_ddim["mutations"])) <= {0.0, 1.0}
+
+
+def test_warmup_does_not_pollute_drift_or_request_log(trained_checkpoint,
+                                                      tmp_path):
+    """Warmup traffic must not count as drift/audit data
+    (code-review finding)."""
+    service = GenerationService(
+        trained_checkpoint, request_log_path=str(tmp_path / "req.log")
+    )
+    service.warmup((2, 4), samplers=("ddpm", "ddim"))
+    if service.drift is not None:
+        assert service.drift.count == 0
+        assert service.drift.score() == 0.0
+    assert (tmp_path / "req.log").read_text() == ""
+    # A real request still records.
+    service.generate(2, {"survival_time": 500})
+    if service.drift is not None:
+        assert service.drift.count == 2
+    assert "survival_time" in (tmp_path / "req.log").read_text()
