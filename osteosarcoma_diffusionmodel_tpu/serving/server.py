@@ -60,7 +60,14 @@ class GenerationService:
         checkpoint_dir: str | Path,
         config: Optional[Config] = None,
         request_log_path: Optional[str] = None,
+        profile_cache_size: int = 0,
     ):
+        """`profile_cache_size`: >0 enables the common-profile response
+        cache the reference sketches (its DEPLOYMENT.md lru_cache over
+        rounded conditions): identical (rounded scenario, bucket,
+        sampler) requests return the SAME cohort — opt-in, because
+        reusing a cohort is a deliberate semantic change from fresh
+        sampling per request."""
         model, params, batch_stats, config, dims = load_trained_model(
             checkpoint_dir, config
         )
@@ -87,10 +94,29 @@ class GenerationService:
         )
         self._lock = threading.Lock()
         self._seed = 0
+        self._profile_cache_size = profile_cache_size
+        self._profile_cache: Dict = {}  # insertion-ordered (LRU evict)
         self.metrics: Dict[str, float] = {
             "requests": 0, "patients": 0, "total_seconds": 0.0,
-            "max_seconds": 0.0,
+            "max_seconds": 0.0, "cache_hits": 0,
         }
+
+    @staticmethod
+    def _profile_key(scenario: Optional[Dict], bucket: int, sampler: str):
+        """Cache key with rounded conditions (the reference's
+        round-to-reduce-misses recipe): survival to the nearest 100
+        days, other numerics to 2 decimals."""
+        rounded = []
+        for k in sorted(scenario or {}):
+            v = (scenario or {})[k]
+            if not isinstance(v, (int, float, bool)):
+                return None  # unhashable/freeform scenario: skip cache
+            if k == "survival_time":
+                v = round(float(v) / 100.0) * 100.0
+            else:
+                v = round(float(v), 2)
+            rounded.append((k, v))
+        return (tuple(rounded), bucket, sampler)
 
     def warmup(self, batches=(64,), samplers=("ddpm",)) -> None:
         """Pre-compile the sampler for the given batch buckets.
@@ -124,6 +150,24 @@ class GenerationService:
         if not 1 <= num_samples <= MAX_BATCH:
             raise ValueError(f"num_samples must be in [1, {MAX_BATCH}]")
         bucket = _bucket(num_samples)
+        cache_key = None
+        if self._profile_cache_size > 0 and not internal:
+            cache_key = self._profile_key(
+                scenario, bucket, sampler or self.config.generation.sampler
+            )
+            if cache_key is not None:
+                with self._lock:
+                    cached = self._profile_cache.get(cache_key)
+                    if cached is not None:
+                        # Refresh LRU position.
+                        self._profile_cache.pop(cache_key)
+                        self._profile_cache[cache_key] = cached
+                        self.metrics["requests"] += 1
+                        self.metrics["patients"] += num_samples
+                        self.metrics["cache_hits"] += 1
+                        return {
+                            k: v[:num_samples] for k, v in cached.items()
+                        }
         t0 = time.perf_counter()
         # The whole generate runs under the lock: device work is
         # serialized anyway, and the per-request sampler override must
@@ -154,6 +198,13 @@ class GenerationService:
                     scenario, num_samples,
                     sampler or self.config.generation.sampler, dt,
                 )
+        if cache_key is not None:
+            with self._lock:
+                self._profile_cache[cache_key] = out
+                while len(self._profile_cache) > self._profile_cache_size:
+                    self._profile_cache.pop(
+                        next(iter(self._profile_cache))
+                    )
         return {k: v[:num_samples] for k, v in out.items()}
 
     def metrics_summary(self) -> Dict[str, float]:
@@ -317,6 +368,7 @@ def serve(
     tls_key: Optional[str] = None,
     warmup_samplers: tuple | list = ("ddpm",),
     request_log_path: Optional[str] = None,
+    profile_cache_size: int = 0,
 ) -> ThreadingHTTPServer:
     """Start the service (returns the server; call serve_forever()).
 
@@ -329,7 +381,8 @@ def serve(
     typically terminate auth/TLS at the ingress (docs/DEPLOYMENT.md).
     """
     service = GenerationService(
-        checkpoint_dir, config, request_log_path=request_log_path
+        checkpoint_dir, config, request_log_path=request_log_path,
+        profile_cache_size=profile_cache_size,
     )
     if warmup:
         service.warmup(
@@ -391,6 +444,14 @@ def main(argv=None):
         help="path for the PHI-safe rotating request log (allowlisted "
         "scenario fields only; off when unset)",
     )
+    parser.add_argument(
+        "--profile-cache",
+        type=int,
+        default=0,
+        help="cache cohorts for up to N common (rounded-scenario, "
+        "bucket, sampler) profiles — identical requests return the "
+        "SAME cohort (0 = off, fresh sampling per request)",
+    )
     args = parser.parse_args(argv)
     buckets = [int(b) for b in args.warmup_buckets.split(",") if b.strip()]
     samplers = [s for s in args.warmup_samplers.split(",") if s.strip()]
@@ -402,6 +463,7 @@ def main(argv=None):
         tls_key=args.tls_key,
         warmup_samplers=samplers or ("ddpm",),
         request_log_path=args.request_log,
+        profile_cache_size=args.profile_cache,
     )
     server.serve_forever()
 

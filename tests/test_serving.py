@@ -381,3 +381,37 @@ def test_warmup_does_not_pollute_drift_or_request_log(trained_checkpoint,
     if service.drift is not None:
         assert service.drift.count == 2
     assert "survival_time" in (tmp_path / "req.log").read_text()
+
+
+def test_profile_cache(trained_checkpoint):
+    """Opt-in common-profile cohort cache (reference DEPLOYMENT.md
+    sketches an lru_cache over rounded conditions, doc-only there)."""
+    import numpy as np
+
+    service = GenerationService(trained_checkpoint, profile_cache_size=2)
+    a = service.generate(3, {"survival_time": 501})
+    # Rounded to the same profile (nearest 100 days) -> same cohort.
+    b = service.generate(3, {"survival_time": 499})
+    np.testing.assert_array_equal(a["mutations"], b["mutations"])
+    assert service.metrics["cache_hits"] == 1
+
+    # Different profile -> fresh cohort.
+    c = service.generate(3, {"survival_time": 900})
+    assert service.metrics["cache_hits"] == 1
+    assert not np.array_equal(a["expression"], c["expression"])
+
+    # LRU eviction at capacity 2: inserting a third evicts the oldest.
+    service.generate(3, {"survival_time": 1300})
+    service.generate(3, {"survival_time": 501})  # evicted -> miss
+    assert service.metrics["cache_hits"] == 1
+
+    # Freeform scenario values bypass the cache entirely.
+    d = service.generate(2, {"survival_time": 501, "note": "x"})
+    assert d["mutations"].shape[0] == 2
+    assert service.metrics["cache_hits"] == 1
+
+    # Cache off by default: identical requests differ.
+    off = GenerationService(trained_checkpoint)
+    x = off.generate(3, {"survival_time": 501})
+    y = off.generate(3, {"survival_time": 501})
+    assert not np.array_equal(x["expression"], y["expression"])
