@@ -529,6 +529,24 @@ class FusedSampler:
         return self._fns[key]
 
     # ------------------------------------------------------------------
+    def estimated_vmem_bytes(self) -> int:
+        """Rough VMEM footprint of one grid cell: all weights/tables
+        (single-buffered invariants) + double-buffered x input/output
+        windows + the largest activation working set. Used by
+        `maybe_fused_sampler` to fall back to the scan path before a
+        Mosaic out-of-VMEM compile error (a 2048-row tile at production
+        dims measured 147 MB vs the 128 MB budget)."""
+        weight_bytes = sum(
+            int(np.prod(w.shape)) * w.dtype.itemsize
+            for w in self.weights + self.gmats
+        )
+        # x in + out windows, bf16, 2 buffering levels each.
+        x_windows = 2 * 2 * self.tile_b * self.data_dim * 2
+        cproj = 2 * self.tile_b * self.hidden[0] * 2
+        # f32 working set: a few live (tile, max_feature) activations.
+        act = 6 * self.tile_b * max(self.hidden + [self.data_dim]) * 4
+        return weight_bytes + x_windows + cproj + act
+
     def _x_init(self, init_rng: jax.Array, b_padded: int) -> jnp.ndarray:
         """x_T prior: Gaussian for continuous columns; uniform
         Bernoulli(1/2) bits on the mutation block with a discrete head
@@ -683,4 +701,19 @@ def maybe_fused_sampler(model, params, tile_b: int = 512,
         return None
     if not supports_fused(model):
         return None
-    return FusedSampler(model, params, tile_b=tile_b, ddim_steps=ddim_steps)
+    sampler = FusedSampler(model, params, tile_b=tile_b, ddim_steps=ddim_steps)
+    # Fall back cleanly when the working set can't fit VMEM (e.g. a
+    # much wider denoiser than the flagship config) instead of failing
+    # at compile time.
+    budget = 96 * 1024 * 1024
+    est = sampler.estimated_vmem_bytes()
+    if est > budget:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "fused sampler: estimated VMEM %d MB exceeds the %d MB "
+            "budget; using the scan path",
+            est // (1024 * 1024), budget // (1024 * 1024),
+        )
+        return None
+    return sampler

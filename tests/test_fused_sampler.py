@@ -410,3 +410,24 @@ def test_fused_discrete_ddim_statistics_match_scan():
     np.testing.assert_allclose(
         fused[:, :M].mean(0), scan[:, :M].mean(0), atol=0.12
     )
+
+
+def test_vmem_estimate_scales_and_flagship_fits():
+    """The VMEM-fit probe: the flagship config fits the budget; a much
+    wider denoiser exceeds it (maybe_fused_sampler then falls back to
+    the scan path instead of a Mosaic OOM at compile time)."""
+    model, params, dims = make_model(
+        num_steps=4, hidden=(256, 512, 256), data_dims=(62, 5054, 26)
+    )
+    flagship = FusedSampler(model, params, tile_b=512, interpret=True)
+    assert flagship.estimated_vmem_bytes() < 96 * 1024 * 1024
+
+    big, big_params, _ = make_model(
+        num_steps=4, hidden=(2048, 4096, 2048), data_dims=(62, 5054, 26)
+    )
+    wide = FusedSampler(big, big_params, tile_b=512, interpret=True)
+    assert wide.estimated_vmem_bytes() > flagship.estimated_vmem_bytes()
+    # A 2048-row tile at flagship dims measured 147 MB on hardware
+    # (BASELINE tile sweep); the estimate must also reject it.
+    big_tile = FusedSampler(model, params, tile_b=2048, interpret=True)
+    assert big_tile.estimated_vmem_bytes() > 96 * 1024 * 1024
