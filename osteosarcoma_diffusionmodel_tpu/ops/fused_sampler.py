@@ -540,11 +540,14 @@ class FusedSampler:
             int(np.prod(w.shape)) * w.dtype.itemsize
             for w in self.weights + self.gmats
         )
-        # x in + out windows, bf16, 2 buffering levels each.
+        # x in + out windows, bf16, 2 buffering levels each (matches
+        # the 41 MB-per-window figures in the measured tile-2048 OOM).
         x_windows = 2 * 2 * self.tile_b * self.data_dim * 2
         cproj = 2 * self.tile_b * self.hidden[0] * 2
-        # f32 working set: a few live (tile, max_feature) activations.
-        act = 6 * self.tile_b * max(self.hidden + [self.data_dim]) * 4
+        # Register/spill working set: empirically ~15 live
+        # max-hidden-width f32 rows per batch row (63.8 MB of spill
+        # slots at tile 2048 with hidden 512).
+        act = 15 * self.tile_b * max(self.hidden) * 4
         return weight_bytes + x_windows + cproj + act
 
     def _x_init(self, init_rng: jax.Array, b_padded: int) -> jnp.ndarray:
@@ -705,7 +708,7 @@ def maybe_fused_sampler(model, params, tile_b: int = 512,
     # Fall back cleanly when the working set can't fit VMEM (e.g. a
     # much wider denoiser than the flagship config) instead of failing
     # at compile time.
-    budget = 96 * 1024 * 1024
+    budget = 128 * 1024 * 1024  # v5e VMEM; tile 1024 fits, 2048 does not
     est = sampler.estimated_vmem_bytes()
     if est > budget:
         import logging

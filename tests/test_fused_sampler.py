@@ -416,18 +416,21 @@ def test_vmem_estimate_scales_and_flagship_fits():
     """The VMEM-fit probe: the flagship config fits the budget; a much
     wider denoiser exceeds it (maybe_fused_sampler then falls back to
     the scan path instead of a Mosaic OOM at compile time)."""
+    budget = 128 * 1024 * 1024
     model, params, dims = make_model(
         num_steps=4, hidden=(256, 512, 256), data_dims=(62, 5054, 26)
     )
     flagship = FusedSampler(model, params, tile_b=512, interpret=True)
-    assert flagship.estimated_vmem_bytes() < 96 * 1024 * 1024
+    assert flagship.estimated_vmem_bytes() < budget
+    # tile 1024 ran on hardware (BASELINE tile sweep) — must be accepted.
+    ok_tile = FusedSampler(model, params, tile_b=1024, interpret=True)
+    assert ok_tile.estimated_vmem_bytes() < budget
+    # tile 2048 measured 147.8 MB on hardware — must be rejected.
+    big_tile = FusedSampler(model, params, tile_b=2048, interpret=True)
+    assert big_tile.estimated_vmem_bytes() > budget
 
     big, big_params, _ = make_model(
         num_steps=4, hidden=(2048, 4096, 2048), data_dims=(62, 5054, 26)
     )
     wide = FusedSampler(big, big_params, tile_b=512, interpret=True)
-    assert wide.estimated_vmem_bytes() > flagship.estimated_vmem_bytes()
-    # A 2048-row tile at flagship dims measured 147 MB on hardware
-    # (BASELINE tile sweep); the estimate must also reject it.
-    big_tile = FusedSampler(model, params, tile_b=2048, interpret=True)
-    assert big_tile.estimated_vmem_bytes() > 96 * 1024 * 1024
+    assert wide.estimated_vmem_bytes() > budget
