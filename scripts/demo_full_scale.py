@@ -42,11 +42,13 @@ def main():
 
     timings = {}
     t0 = time.perf_counter()
+    n_samples = int(os.environ.get("DEMO_N", 100))
     make_dummy_data(
-        workdir / "processed", n_samples=100,
+        workdir / "processed", n_samples=n_samples,
         n_mutation_genes=62, n_expression_genes=5054, n_pathways=26,
     )
     timings["make_data_sec"] = time.perf_counter() - t0
+    timings["n_samples"] = n_samples
 
     cfg = Config()
     cfg.data.processed_dir = str(workdir / "processed")
