@@ -211,15 +211,22 @@ def train_model(config: Config, resume: bool = False, profile: bool = False):
             from .training.checkpoint import BEST_NAME
             from .training.finetune import sample_path_finetune
 
-            # Fine-tune the checkpoint the generate step will load.
+            # Fine-tune the checkpoint the generate step will load,
+            # keeping the pre-finetune best recoverable and anchoring
+            # only on training rows (the best-val checkpoint must not
+            # be tuned against its own validation split).
             state = trainer.checkpoints.restore(
                 BEST_NAME, trainer.state_dict(0, 0.0)
             )
+            trainer.checkpoints.save(f"{BEST_NAME}_prefinetune", state)
+            import numpy as _np
+
+            tr = _np.asarray(trainer.train_idx)
             new_params, ft_hist = sample_path_finetune(
                 model,
                 state["params"],
-                trainer._data,
-                trainer._cond,
+                trainer._data[tr],
+                trainer._cond[tr],
                 jax.random.PRNGKey(config.training.random_seed + 77),
                 steps=ftc.steps,
                 ddim_steps=ftc.ddim_steps,

@@ -249,6 +249,18 @@ class EvaluationConfig:
     check_mutation_cooccurrence: bool = True
     check_pathway_coherence: bool = True
     check_driver_mutations: bool = True
+    # Novelty / memorization audit: nearest-neighbor distance ratio and
+    # near-duplicate rate of the synthetic cohort vs the real one
+    # (closes the reference validator's blind spot — a generator that
+    # re-renders training patients scores perfectly on every
+    # distributional metric; reference utils/validation.py:300-387
+    # never checks it).
+    check_novelty: bool = True
+    # Size-matched KS: also report the significant fraction on
+    # real-size subsamples of the synthetic cohort, where the test has
+    # the power the n_real-vs-10k comparison lacks calibration for
+    # (the raw fraction reads ~0.6 on healthy cohorts at n=100 vs 10k).
+    ks_size_matched_resamples: int = 5
     driver_genes: List[str] = field(
         default_factory=lambda: ["TP53", "RB1", "ATRX", "DLG2", "PTEN"]
     )

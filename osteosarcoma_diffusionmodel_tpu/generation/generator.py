@@ -65,10 +65,11 @@ class SyntheticPatientGenerator:
         # jit cache keyed by (sampler kind, guidance, steps): scenarios
         # share one compiled program instead of re-tracing per call.
         self._sample_fns = {}
-        # Fitted mutation copula (freq, corr) and continuous-block
-        # Cholesky, cached across scenarios.
+        # Fitted mutation copula (freq, corr), continuous-block
+        # Cholesky, and joint factor, cached across scenarios.
         self._copula = None
         self._cont_chol = None
+        self._joint = None
         # Fused Pallas samplers (ops/fused_sampler.py), probed lazily
         # per variant; key None = DDPM, int = that many DDIM steps;
         # False = probed and unsupported.
@@ -249,6 +250,18 @@ class SyntheticPatientGenerator:
     ) -> Dict[str, np.ndarray]:
         """Calibrate (per config) and split a raw sample matrix into
         modality blocks (reference generate.py:130-144)."""
+        import os
+
+        if os.environ.get("OSDM_DUMP_RAW"):
+            # Debug hook: persist the pre-calibration model outputs so
+            # calibration variants can be replayed host-side without
+            # re-running the sampler (doctor-style diagnostics).
+            dump = Path(os.environ["OSDM_DUMP_RAW"])
+            dump.parent.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(
+                dump, samples=samples, conditions=np.asarray(conditions)
+            )
+            logger.info("Raw samples dumped to %s", dump)
         m, e = self.dims.mutation_dim, self.dims.expression_dim
         mode = self.config.generation.calibrate_marginals
         if mode is True:
@@ -275,6 +288,16 @@ class SyntheticPatientGenerator:
         """Marginal calibration against the training cohort.
 
         Mutations: by mode —
+        - "copula_joint": ONE latent-Gaussian factor over the full
+          [mutations | expression | pathways] vector — tetrachoric
+          mutation block, polyserial cross block (preserves
+          mutation<->pathway coupling that separate transplants
+          garble), and a continuous block whose latent correlation is
+          Hermite-inverted so the *Pearson* covariance after quantile
+          mapping matches the real cohort (rank transplants inflate
+          Pearson coherence on heavy-tailed marginals). With the
+          discrete mutation head, the model owns the bits and the
+          continuous block falls back to "copula_full" behavior.
         - "copula": latent-Gaussian copula fitted on the real cohort's
           binary mutation block (tetrachoric correlation) and
           transplanted onto the raw scores, so pairwise co-occurrence /
@@ -300,13 +323,38 @@ class SyntheticPatientGenerator:
         """
         stats = self.data_stats
         raw_mut = samples[:, :m]
+        if (
+            mode == "copula_joint"
+            and not getattr(self.model, "discrete_head", False)
+            and "mutation_matrix" in stats
+            and "data_matrix" in stats
+            and samples.shape[0] > 2
+            and m > 1
+        ):
+            # One latent-Gaussian factor over the FULL patient vector:
+            # tetrachoric mutation block + polyserial cross block +
+            # Hermite Pearson-matched continuous block (ops/copula.py).
+            # Fixes the two n=400 regressions of separate transplants:
+            # garbled mutation<->pathway coupling and Pearson coherence
+            # inflation after quantile mapping (round-2 DEMO_N400).
+            from ..ops.copula import fit_joint_copula, joint_transplant
+
+            if self._joint is None:
+                real = np.asarray(stats["data_matrix"])
+                self._joint = fit_joint_copula(real[:, :m], real[:, m:])
+                logger.info(
+                    "Joint copula fitted (shrink=%.3g)", self._joint[2]
+                )
+            freq, chol, _ = self._joint
+            mutations, cont = joint_transplant(samples, chol, freq, m)
+            return mutations, self._quantile_map_continuous(cont, m)
         if getattr(self.model, "discrete_head", False):
             # The binary D3PM head owns the mutation block: samples are
             # already exact bits — calibration must not overwrite the
             # model's joint mutation structure.
             mutations = (raw_mut > 0.5).astype(np.float32)
         elif (
-            mode in ("copula", "copula_full")
+            mode in ("copula", "copula_full", "copula_joint")
             and "mutation_matrix" in stats
             and raw_mut.shape[0] > 2
             and m > 1
@@ -328,7 +376,7 @@ class SyntheticPatientGenerator:
 
         cont = samples[:, m:]
         if (
-            mode == "copula_full"
+            mode in ("copula_full", "copula_joint")
             and "data_matrix" in stats
             and cont.shape[0] > 2
             and cont.shape[1] > 1
@@ -345,7 +393,19 @@ class SyntheticPatientGenerator:
                     np.asarray(stats["data_matrix"])[:, m:]
                 )
             cont = gaussian_transplant(cont, self._cont_chol)
-        if mode in ("quantile", "copula", "copula_full") and "feature_sorted" in stats:
+        return mutations, self._quantile_map_continuous(cont, m, mode)
+
+    def _quantile_map_continuous(
+        self, cont: np.ndarray, m: int, mode: str = "copula_joint"
+    ) -> np.ndarray:
+        """Map the continuous block's within-cohort ranks onto the real
+        per-feature quantile grid (or moment-match when the sorted
+        grid is unavailable)."""
+        stats = self.data_stats
+        if (
+            mode in ("quantile", "copula", "copula_full", "copula_joint")
+            and "feature_sorted" in stats
+        ):
             sorted_real = np.asarray(
                 stats["feature_sorted"], np.float32
             )[:, m:]  # (n_real, D_cont), per-feature quantile function
@@ -372,7 +432,7 @@ class SyntheticPatientGenerator:
                 synth_std > 1e-6, real_std / np.maximum(synth_std, 1e-6), 1.0
             )
             continuous = (cont - synth_mean) * scale + real_mean
-        return mutations, continuous.astype(np.float32)
+        return continuous.astype(np.float32)
 
     def generate_scenarios(
         self,

@@ -543,7 +543,14 @@ class ConditionalDiffusion:
             "inv_sqrt_acp": 1.0 / sched.sqrt_alphas_cumprod[0],
             "sqrt_om_acp": sched.sqrt_one_minus_alphas_cumprod[0],
         }
-        resid_rng, final_bit_rng = jax.random.split(final_rng)
+        # Split only when the discrete head needs its own bit key: with
+        # M == 0 the residual draw keeps final_rng itself, so fixed-seed
+        # continuous-path sampling is unchanged from pre-discrete-head
+        # checkpoints (the continuous key indices stay as they were).
+        if M:
+            resid_rng, final_bit_rng = jax.random.split(final_rng)
+        else:
+            resid_rng = final_rng
         x0 = predict_x0(xc_1, final_coeffs, cont_pred).astype(jnp.float32)
         if logvar is not None:
             logvar_c = logvar[:, M:] if M else logvar

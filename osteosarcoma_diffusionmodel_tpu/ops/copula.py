@@ -300,3 +300,237 @@ def gaussian_transplant(
     w = solve_triangular(l_emp, u.T, lower=True).T.astype(np.float32)
     w /= np.maximum(w.std(axis=0, keepdims=True), 1e-9)
     return (w @ target_chol.T).astype(np.float32)
+
+
+# ----------------------------------------------------------------------
+# Joint full-vector copula with Pearson-matched continuous block
+# (round-3 "copula_joint" mode)
+# ----------------------------------------------------------------------
+_SQRT2PI = np.sqrt(2.0 * np.pi)
+
+
+def hermite_quantile_coeffs(
+    sorted_real: np.ndarray, n_terms: int = 10, n_quad: int = 80
+) -> np.ndarray:
+    """Hermite expansion of each column's empirical quantile transform.
+
+    ``sorted_real``: (n, D) per-column sorted real values (the quantile
+    function on a uniform grid). Returns B of shape (n_terms, D) with
+    B[k-1] = E[f(Z) He_k(Z)] / sqrt(k!) for k = 1..n_terms, so for a
+    standard bivariate normal (Z1, Z2) with correlation rho:
+
+        Cov(f_i(Z1), f_j(Z2)) = sum_{k>=1} B[k-1,i] B[k-1,j] rho^k
+
+    This is the classical Hermite/NORTA identity that lets the latent
+    correlation be chosen to reproduce a target *Pearson* covariance
+    after quantile mapping (the rank-correlation transplant matches
+    Spearman structure instead, which measurably inflates Pearson
+    coherence on heavy-tailed marginals — round-2 DEMO_N400).
+    """
+    n, d = sorted_real.shape
+    z, w = np.polynomial.hermite_e.hermegauss(n_quad)  # weight e^{-x^2/2}
+    w = w / _SQRT2PI  # E[g(Z)] = sum_q w_q g(z_q)
+    p = _norm_cdf(z)
+    pos = np.clip(p * n - 0.5, 0.0, n - 1.0)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, n - 1)
+    frac = (pos - lo)[:, None]
+    fz = sorted_real[lo] * (1 - frac) + sorted_real[hi] * frac  # (Q, D)
+
+    out = np.zeros((n_terms, d))
+    he_prev = np.ones_like(z)
+    he = z.copy()
+    fact = 1.0
+    for k in range(1, n_terms + 1):
+        fact *= k
+        out[k - 1] = (w[:, None] * fz * he[:, None]).sum(axis=0) / np.sqrt(fact)
+        he, he_prev = z * he - k * he_prev, he
+    return out
+
+
+def pearson_to_latent(
+    target_cov: np.ndarray, coeffs: np.ndarray, n_iter: int = 8
+) -> np.ndarray:
+    """Invert sum_k b_ki b_kj rho^k = target_cov elementwise for rho.
+
+    ``target_cov``: (D, D) real Pearson covariance to reproduce after
+    quantile mapping. ``coeffs``: (K, D) from hermite_quantile_coeffs.
+    Newton iteration vectorized over the full matrix; targets outside
+    the attainable range (the Gaussian copula cannot exceed the
+    comonotone/countermonotone covariance) are clamped to it. Returns
+    a unit-diagonal matrix with entries in (-1, 1) — NOT guaranteed
+    PSD (callers shrink toward I until Cholesky succeeds).
+    """
+    K, d = coeffs.shape
+    Bf = coeffs.astype(np.float64)
+    sd = np.sqrt(np.maximum((Bf ** 2).sum(axis=0), 1e-12))
+    outers = [np.outer(Bf[k], Bf[k]) for k in range(K)]
+    cmax = np.add.reduce(outers)
+    cmin = np.add.reduce([o * (-1.0) ** (k + 1) for k, o in enumerate(outers)])
+    lo = np.minimum(cmin, cmax)
+    hi = np.maximum(cmin, cmax)
+    target = np.clip(target_cov, lo + 1e-12, hi - 1e-12)
+
+    rho = np.clip(target / np.outer(sd, sd), -0.99, 0.99)
+    for _ in range(n_iter):
+        s_val = np.zeros_like(rho)
+        ds = np.zeros_like(rho)
+        rp = np.ones_like(rho)
+        for k in range(K):
+            ds += (k + 1) * outers[k] * rp
+            rp = rp * rho
+            s_val += outers[k] * rp
+        step = (s_val - target) / np.where(np.abs(ds) > 1e-12, ds, np.inf)
+        rho = np.clip(rho - step, -0.999, 0.999)
+    np.fill_diagonal(rho, 1.0)
+    return rho
+
+
+def polyserial_latent(
+    binary: np.ndarray, cont_scores: np.ndarray
+) -> np.ndarray:
+    """Latent correlation between binary and continuous columns.
+
+    For Y = 1{Z1 > a} and U the (unit-variance normal-scores proxy of)
+    Z2, E[Y U] = rho * phi(a) exactly under the latent-Gaussian model,
+    so rho = Cov(Y, U) / phi(a) — one matmul for all (M, Dc) pairs.
+    """
+    binary = np.asarray(binary, np.float64)
+    n = binary.shape[0]
+    p = binary.mean(axis=0)
+    a = _norm_ppf(1.0 - np.clip(p, 1e-6, 1 - 1e-6))
+    phi_a = np.exp(-0.5 * a * a) / _SQRT2PI
+    centered = cont_scores - cont_scores.mean(axis=0)
+    cov = (binary - p).T @ centered / n
+    rho = cov / np.maximum(phi_a[:, None], 1e-9)
+    rho[(p <= 1e-9) | (p >= 1 - 1e-9)] = 0.0
+    return np.clip(rho, -0.99, 0.99)
+
+
+def fit_joint_copula(
+    real_mut: np.ndarray,
+    real_cont: np.ndarray,
+    n_terms: int = 10,
+    shrink: float = 0.02,
+    cont_latent: str = "rank",
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Joint latent-Gaussian correlation over [mutations | continuous].
+
+    Assembles the target from three estimators —
+    - binary x binary: tetrachoric (fit_binary_copula),
+    - binary x continuous: polyserial closed form,
+    - continuous x continuous: per ``cont_latent`` —
+      * "rank" (default): the normal-scores (van der Waerden)
+        correlation — the round-2 copula_full behavior, matching
+        Spearman structure. A Gram matrix, so PSD by construction even
+        at n << D; the whole assembly then needs only a small shrink
+        to absorb the tetrachoric/polyserial blocks.
+      * "gain": the real Pearson correlation divided by the separable
+        first-order Hermite gains gamma_i = b_1i / sd_i, compensating
+        the Pearson attenuation the quantile map induces on
+        non-Gaussian marginals. At n << D the unit-diagonal reset
+        costs PSD-ness faster than shrink can recover — use when
+        n is comparable to D.
+      * "exact": full Hermite inversion (pearson_to_latent); intended
+        for small D.
+    Returns (freq, L, shrink_used) with L = chol((1-s) C + s I) for
+    the smallest doubling s >= ``shrink`` that is PD.
+
+    One joint factor is what preserves cross-block structure: separate
+    per-block transplants garble mutation<->pathway coupling (the
+    round-2 mutation_expression_violation_rate=0.5 regression at n=400).
+    """
+    real_mut = np.asarray(real_mut, np.float64)
+    real_cont = np.asarray(real_cont, np.float64)
+    m = real_mut.shape[1]
+    freq, bcorr = fit_binary_copula(real_mut)
+
+    u_cont = _normal_scores(real_cont)
+    u_cont /= np.maximum(u_cont.std(axis=0, keepdims=True), 1e-9)
+    cross = polyserial_latent(real_mut, u_cont)
+
+    if cont_latent == "rank":
+        n = real_cont.shape[0]
+        cc = (u_cont.T @ u_cont) / n
+        np.fill_diagonal(cc, 1.0)
+    elif cont_latent == "exact":
+        coeffs = hermite_quantile_coeffs(
+            np.sort(real_cont, axis=0), n_terms=n_terms
+        )
+        cc = pearson_to_latent(
+            np.atleast_2d(np.cov(real_cont, rowvar=False, bias=True)),
+            coeffs,
+        )
+    else:  # "gain"
+        coeffs = hermite_quantile_coeffs(
+            np.sort(real_cont, axis=0), n_terms=n_terms
+        )
+        sd = np.sqrt(np.maximum((coeffs ** 2).sum(axis=0), 1e-12))
+        # gamma -> 1 for Gaussian marginals; bounded below so a wild
+        # column cannot blow up its whole row of latent correlations.
+        gamma = np.clip(coeffs[0] / sd, 0.5, 1.0)
+        with np.errstate(invalid="ignore"):
+            pearson = np.corrcoef(real_cont, rowvar=False)
+        pearson = np.nan_to_num(pearson, nan=0.0)
+        cc = np.clip(pearson / np.outer(gamma, gamma), -0.999, 0.999)
+        np.fill_diagonal(cc, 1.0)
+
+    d = m + real_cont.shape[1]
+    corr = np.empty((d, d))
+    corr[:m, :m] = bcorr
+    corr[:m, m:] = cross
+    corr[m:, :m] = cross.T
+    corr[m:, m:] = cc
+
+    s = shrink
+    eye = np.eye(d)
+    while s < 1.0:
+        try:
+            chol = np.linalg.cholesky((1.0 - s) * corr + s * eye)
+            return freq, chol.astype(np.float32), s
+        except np.linalg.LinAlgError:
+            s *= 2.0
+    raise np.linalg.LinAlgError("joint copula target could not be made PD")
+
+
+def joint_transplant(
+    raw: np.ndarray,
+    chol: np.ndarray,
+    freq: np.ndarray,
+    m: int,
+    ridge: float = 0.05,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One whiten/recolor over the full [mutation | continuous] vector.
+
+    ``raw``: (N, D) raw model outputs. Returns (bits (N, m), z_cont
+    (N, D-m)): mutation bits thresholded at exact per-gene counts and
+    the recolored continuous Gaussian, whose per-column ranks drive the
+    downstream quantile mapping. Driven by the model's own scores (not
+    fresh noise), so each patient's bits stay coupled to the
+    expression/pathway profile generated alongside them.
+    """
+    from scipy.linalg import solve_triangular
+
+    raw = np.asarray(raw, np.float32)
+    n, d = raw.shape
+    u = _normal_scores(raw).astype(np.float32)
+    u /= np.maximum(u.std(axis=0, keepdims=True), 1e-9)
+    gram = (u.T @ u) / n
+    c = (1.0 - ridge) * gram + ridge * np.eye(d, dtype=np.float32)
+    l_emp = np.linalg.cholesky(c.astype(np.float64)).astype(np.float32)
+    w = solve_triangular(l_emp, u.T, lower=True).T.astype(np.float32)
+    w /= np.maximum(w.std(axis=0, keepdims=True), 1e-9)
+    z = (w @ chol.T).astype(np.float32)
+
+    zm, zc = z[:, :m], z[:, m:]
+    k = np.clip(np.round(np.asarray(freq) * n).astype(int), 0, n)
+    bits = np.zeros((n, m), np.float32)
+    for g in range(m):
+        if k[g] <= 0:
+            continue
+        if k[g] >= n:
+            bits[:, g] = 1.0
+            continue
+        thresh = np.partition(zm[:, g], n - k[g])[n - k[g]]
+        bits[:, g] = (zm[:, g] >= thresh).astype(np.float32)
+    return bits, zc

@@ -43,10 +43,16 @@ def initialize_distributed(
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not addr:
         return
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", 1))
+    if process_id is None:
+        # NOTE: `process_id or ...` would misroute an explicit 0 when
+        # the env carries a different id — 0 is a valid process id.
+        process_id = int(os.environ.get("JAX_PROCESS_ID", 0))
     jax.distributed.initialize(
         coordinator_address=addr,
-        num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", 1)),
-        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", 0)),
+        num_processes=num_processes,
+        process_id=process_id,
     )
 
 

@@ -70,10 +70,12 @@ class SecureRequestLog:
 
     def log_generation(
         self, scenario: Optional[Dict], num_samples: int, sampler: str,
-        seconds: float,
+        seconds: float, cached: bool = False,
     ) -> Dict:
         """Log one generation request with PHI scrubbed.
 
+        `cached` marks profile-cache hits so the audit trail stays
+        complete when the server reuses a cohort instead of sampling.
         Returns the sanitized record (for tests/inspection)."""
         scenario = scenario or {}
         safe = {
@@ -89,6 +91,8 @@ class SecureRequestLog:
             "conditions": safe,
             "fields_dropped": dropped,
         }
+        if cached:
+            record["cached"] = True
         self.logger.info("generation %s", json.dumps(record, sort_keys=True))
         return record
 

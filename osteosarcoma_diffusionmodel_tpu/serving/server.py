@@ -98,7 +98,8 @@ class GenerationService:
         self._profile_cache: Dict = {}  # insertion-ordered (LRU evict)
         self.metrics: Dict[str, float] = {
             "requests": 0, "patients": 0, "total_seconds": 0.0,
-            "max_seconds": 0.0, "cache_hits": 0,
+            "max_seconds": 0.0, "cache_hits": 0, "warmups": 0,
+            "warmup_seconds": 0.0,
         }
 
     @staticmethod
@@ -144,9 +145,11 @@ class GenerationService:
         self, num_samples: int, scenario: Optional[Dict] = None,
         sampler: Optional[str] = None, internal: bool = False,
     ) -> Dict[str, np.ndarray]:
-        """`internal` marks warmup/self-test traffic: it compiles and
-        counts toward latency metrics but must not pollute the drift
-        monitor or the request audit log."""
+        """`internal` marks warmup/self-test traffic: it compiles but
+        must not pollute the latency metrics (the 20-40 s first-compile
+        would dominate max_seconds and misread against the <1 s SLA),
+        the drift monitor, or the request audit log; its wall time is
+        tracked separately as warmup_seconds."""
         if not 1 <= num_samples <= MAX_BATCH:
             raise ValueError(f"num_samples must be in [1, {MAX_BATCH}]")
         bucket = _bucket(num_samples)
@@ -165,9 +168,21 @@ class GenerationService:
                         self.metrics["requests"] += 1
                         self.metrics["patients"] += num_samples
                         self.metrics["cache_hits"] += 1
-                        return {
-                            k: v[:num_samples] for k, v in cached.items()
-                        }
+                # Cache hits must stay visible to drift detection and
+                # the audit trail — a cached cohort is still a served
+                # request (marked cached=True in the log).
+                if cached is not None:
+                    if self.drift is not None:
+                        self.drift.update(
+                            cached["conditions"][:num_samples]
+                        )
+                    if self.request_log is not None:
+                        self.request_log.log_generation(
+                            scenario, num_samples,
+                            sampler or self.config.generation.sampler,
+                            0.0, cached=True,
+                        )
+                    return {k: v[:num_samples] for k, v in cached.items()}
         t0 = time.perf_counter()
         # The whole generate runs under the lock: device work is
         # serialized anyway, and the per-request sampler override must
@@ -186,10 +201,16 @@ class GenerationService:
             finally:
                 self.config.generation.sampler = default_sampler
             dt = time.perf_counter() - t0
-            self.metrics["requests"] += 1
-            self.metrics["patients"] += num_samples
-            self.metrics["total_seconds"] += dt
-            self.metrics["max_seconds"] = max(self.metrics["max_seconds"], dt)
+            if internal:
+                self.metrics["warmups"] += 1
+                self.metrics["warmup_seconds"] += dt
+            else:
+                self.metrics["requests"] += 1
+                self.metrics["patients"] += num_samples
+                self.metrics["total_seconds"] += dt
+                self.metrics["max_seconds"] = max(
+                    self.metrics["max_seconds"], dt
+                )
         if not internal:
             if self.drift is not None:
                 self.drift.update(out["conditions"][:num_samples])

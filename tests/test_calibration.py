@@ -129,3 +129,37 @@ def test_quantile_calibration_preserves_rank_correlations(generator_with_stats):
         rho_raw = sps.spearmanr(raw["expression"][:, i],
                                 raw["expression"][:, j]).statistic
         np.testing.assert_allclose(rho_cal, rho_raw, atol=0.05)
+
+
+def test_copula_joint_mode_end_to_end(generator_with_stats, rng):
+    """copula_joint: exact marginal counts, cross-block coupling
+    preserved, real Pearson covariance approached on the continuous
+    block (ops/copula.py joint transplant through the generator)."""
+    gen = generator_with_stats
+    # Real cohort with planted cross-block structure: mutation 0
+    # suppresses continuous feature 0.
+    mut = (rng.random((200, 5)) < [0.1, 0.3, 0.5, 0.7, 0.9]).astype(
+        np.float32
+    )
+    cont = rng.normal(5.0, 2.0, (200, 15)).astype(np.float32)
+    cont[:, 0] -= 3.0 * mut[:, 1]
+    real = np.concatenate([mut, cont], axis=1)
+    gen.data_stats = {
+        "feature_mean": real.mean(axis=0),
+        "feature_std": real.std(axis=0),
+        "mutation_freq": mut.mean(axis=0),
+        "feature_sorted": np.sort(real, axis=0),
+        "mutation_matrix": mut,
+        "data_matrix": real,
+    }
+    gen.config.generation.calibrate_marginals = "copula_joint"
+    out = gen.generate(500, {"survival_time": 800}, rng=jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        out["mutations"].mean(axis=0), mut.mean(axis=0), atol=0.01
+    )
+    # Cross-block sign survives the transplant.
+    c = np.corrcoef(out["mutations"][:, 1], out["expression"][:, 0])[0, 1]
+    assert c < -0.15
+    # Continuous marginals ride the real quantile grid.
+    assert out["expression"].min() >= real[:, 5:17].min() - 1e-4
+    assert out["expression"].max() <= real[:, 5:17].max() + 1e-4

@@ -229,3 +229,137 @@ def test_generator_copula_full_mode(tmp_path):
     assert np.isfinite(out["expression"]).all()
     assert out["expression"].min() >= data[:, m_dim:m_dim + e_dim].min() - 1e-5
     assert out["expression"].max() <= data[:, m_dim:m_dim + e_dim].max() + 1e-5
+
+
+# ----------------------------------------------------------------------
+# Round-3 joint copula (Pearson-matched continuous block)
+# ----------------------------------------------------------------------
+def _qmap_col(sorted_col, z):
+    from scipy.stats import norm
+
+    n = len(sorted_col)
+    pos = np.clip(norm.cdf(z) * n - 0.5, 0, n - 1)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, n - 1)
+    return sorted_col[lo] * (1 - (pos - lo)) + sorted_col[hi] * (pos - lo)
+
+
+def test_hermite_coeffs_predict_pearson_after_quantile_map():
+    """Forward identity: Cov(f_i(Z1), f_j(Z2)) = sum_k b_ki b_kj rho^k
+    for heavy-tailed empirical marginals."""
+    from osteosarcoma_diffusionmodel_tpu.ops.copula import (
+        hermite_quantile_coeffs,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 300
+    real = np.stack(
+        [rng.lognormal(0, 1.0, n), rng.exponential(2.0, n)], axis=1
+    )
+    sorted_real = np.sort(real, axis=0)
+    coeffs = hermite_quantile_coeffs(sorted_real, n_terms=10)
+
+    rho = 0.6
+    big = 200_000
+    z1 = rng.normal(size=big)
+    z2 = rho * z1 + np.sqrt(1 - rho * rho) * rng.normal(size=big)
+    x = _qmap_col(sorted_real[:, 0], z1)
+    y = _qmap_col(sorted_real[:, 1], z2)
+    measured = np.corrcoef(x, y)[0, 1]
+    pred_cov = sum(
+        coeffs[k, 0] * coeffs[k, 1] * rho ** (k + 1) for k in range(10)
+    )
+    pred = pred_cov / np.sqrt(
+        (coeffs[:, 0] ** 2).sum() * (coeffs[:, 1] ** 2).sum()
+    )
+    assert abs(measured - pred) < 0.01
+
+
+def test_pearson_to_latent_round_trips():
+    """Inverting then forward-sampling reproduces the target Pearson
+    correlation on heavy-tailed marginals (the rank transplant would
+    inflate here — the measured n=400 coherence regression)."""
+    from osteosarcoma_diffusionmodel_tpu.ops.copula import (
+        hermite_quantile_coeffs, pearson_to_latent,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 400
+    real = np.stack(
+        [
+            rng.lognormal(0, 1.0, n),
+            rng.exponential(2.0, n),
+            rng.normal(0, 3.0, n),
+        ],
+        axis=1,
+    )
+    sorted_real = np.sort(real, axis=0)
+    coeffs = hermite_quantile_coeffs(sorted_real, n_terms=10)
+    target_corr = np.array(
+        [[1.0, 0.45, -0.3], [0.45, 1.0, 0.2], [-0.3, 0.2, 1.0]]
+    )
+    sd = real.std(axis=0)
+    latent = pearson_to_latent(target_corr * np.outer(sd, sd), coeffs)
+    assert np.allclose(np.diag(latent), 1.0)
+    # Latent |rho| must exceed the Pearson target on these marginals.
+    assert latent[0, 1] > 0.45
+
+    big = 200_000
+    chol = np.linalg.cholesky(latent + 1e-9 * np.eye(3))
+    z = rng.normal(size=(big, 3)) @ chol.T
+    x = np.stack(
+        [_qmap_col(sorted_real[:, i], z[:, i]) for i in range(3)], axis=1
+    )
+    achieved = np.corrcoef(x, rowvar=False)
+    assert np.abs(achieved - target_corr).max() < 0.02
+
+
+def test_polyserial_latent_recovers_rho():
+    from osteosarcoma_diffusionmodel_tpu.ops.copula import (
+        _norm_ppf, polyserial_latent,
+    )
+
+    rng = np.random.default_rng(2)
+    big = 200_000
+    rho = 0.6
+    a = _norm_ppf(np.array([0.7]))[0]  # mutation frequency 0.3
+    z1 = rng.normal(size=big)
+    z2 = rho * z1 + np.sqrt(1 - rho * rho) * rng.normal(size=big)
+    ybin = (z1 > a).astype(np.float64)[:, None]
+    est = polyserial_latent(ybin, z2[:, None])
+    assert abs(est[0, 0] - rho) < 0.01
+    # Degenerate marginals carry no signal.
+    const = np.zeros((big, 1))
+    assert polyserial_latent(const, z2[:, None])[0, 0] == 0.0
+
+
+def test_joint_transplant_preserves_cross_block_sign():
+    """The round-2 regression in one test: a real cohort where a
+    mutation suppresses a continuous feature. Separate per-block
+    transplants garble the coupling; the joint transplant must keep
+    the negative sign."""
+    from osteosarcoma_diffusionmodel_tpu.ops.copula import (
+        fit_joint_copula, joint_transplant,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 400
+    mut = (rng.random((n, 4)) < [0.5, 0.3, 0.2, 0.4]).astype(np.float64)
+    cont = rng.normal(size=(n, 6))
+    cont[:, 0] -= 1.5 * mut[:, 0]  # TP53-style suppression
+    cont[:, 1] += 1.2 * mut[:, 1]  # MYC-style activation
+
+    freq, chol, shrink = fit_joint_copula(mut, cont)
+    assert shrink < 0.5
+
+    raw = rng.normal(size=(5000, 10)).astype(np.float32)
+    bits, z_cont = joint_transplant(raw, chol, freq, 4)
+    assert set(np.unique(bits)) <= {0.0, 1.0}
+    # Exact marginal counts.
+    np.testing.assert_allclose(
+        bits.mean(axis=0), freq, atol=1.0 / 5000 + 1e-6
+    )
+    c_neg = np.corrcoef(bits[:, 0], z_cont[:, 0])[0, 1]
+    c_pos = np.corrcoef(bits[:, 1], z_cont[:, 1])[0, 1]
+    assert c_neg < -0.2
+    assert c_pos > 0.2

@@ -127,6 +127,56 @@ def test_mutation_corr_target_zeroes_constant_genes():
     assert (corr[2:, :] == 0).all() and (corr[:, 2:] == 0).all()
 
 
+def test_cli_finetune_backs_up_best_and_anchors_on_train_rows(
+    tmp_path, monkeypatch
+):
+    """STEP 4b must keep the pre-finetune best checkpoint recoverable
+    and anchor only on training rows (round-2 ADVICE: tuning the
+    best-val checkpoint against its own validation split, in place)."""
+    from osteosarcoma_diffusionmodel_tpu.cli import (
+        compute_pathway_features, train_model,
+    )
+    from osteosarcoma_diffusionmodel_tpu.config import Config
+    from osteosarcoma_diffusionmodel_tpu.data.dataset import make_dummy_data
+    from osteosarcoma_diffusionmodel_tpu.training import finetune as ft_mod
+
+    monkeypatch.chdir(tmp_path)
+    make_dummy_data(tmp_path / "processed", n_samples=40,
+                    n_mutation_genes=12, n_expression_genes=64, n_pathways=6)
+    cfg = Config()
+    cfg.data.processed_dir = str(tmp_path / "processed")
+    cfg.model.hidden_dims = [32, 64, 32]
+    cfg.model.diffusion.num_steps = 8
+    cfg.model.compute_dtype = "float32"
+    cfg.training.num_epochs = 2
+    cfg.training.batch_size = 8
+    cfg.training.save_dir = str(tmp_path / "ckpt")
+    cfg.training.sample_path_finetune.enabled = True
+    cfg.training.sample_path_finetune.steps = 2
+    cfg.training.sample_path_finetune.sample_batch = 16
+    cfg.output.results_dir = str(tmp_path / "results")
+    cfg.output.synthetic_data_dir = str(tmp_path / "results" / "synthetic")
+
+    seen = {}
+    orig = ft_mod.sample_path_finetune
+
+    def spy(model, params, data, cond, *args, **kwargs):
+        seen["n_anchor"] = data.shape[0]
+        return orig(model, params, data, cond, *args, **kwargs)
+
+    monkeypatch.setattr(
+        "osteosarcoma_diffusionmodel_tpu.cli.sample_path_finetune", spy,
+        raising=False,
+    )
+    # cli imports the symbol inside the step; patch at its source too.
+    monkeypatch.setattr(ft_mod, "sample_path_finetune", spy)
+    compute_pathway_features(cfg)
+    train_model(cfg)
+    # Validation split is 0.2 of 40 -> 32 train rows anchored, not 40.
+    assert seen["n_anchor"] == 32
+    assert (tmp_path / "ckpt" / "best_model_prefinetune").exists()
+
+
 def test_config_roundtrip_finetune_keys(tmp_path):
     cfg = Config()
     cfg.training.sample_path_finetune.enabled = True

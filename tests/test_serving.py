@@ -151,9 +151,15 @@ def test_warmup_buckets(trained_checkpoint):
     service = GenerationService(trained_checkpoint)
     # 3 rounds to bucket 4; duplicates and int form both accepted.
     service.warmup((3, 4, 64))
-    assert service.metrics["requests"] == 2  # buckets {4, 64}
+    assert service.metrics["warmups"] == 2  # buckets {4, 64}
     service.warmup(2)
-    assert service.metrics["requests"] == 3
+    assert service.metrics["warmups"] == 3
+    # Warmup traffic must not pollute the serving-latency metrics
+    # (round-2 ADVICE: the first-compile seconds would dominate
+    # max_seconds and misread against the <1 s SLA).
+    assert service.metrics["requests"] == 0
+    assert service.metrics["max_seconds"] == 0.0
+    assert service.metrics["warmup_seconds"] > 0.0
 
 
 def test_main_warmup_bucket_parsing():
@@ -262,7 +268,8 @@ def test_sampler_override_does_not_leak(trained_checkpoint):
     assert service.config.generation.sampler == default
     service.warmup((2,), samplers=("ddpm", "ddim"))
     assert service.config.generation.sampler == default
-    assert service.metrics["requests"] == 3
+    assert service.metrics["requests"] == 1  # warmups tracked separately
+    assert service.metrics["warmups"] == 2
 
 
 def test_auth_edge_cases(trained_checkpoint):
@@ -415,3 +422,25 @@ def test_profile_cache(trained_checkpoint):
     x = off.generate(3, {"survival_time": 501})
     y = off.generate(3, {"survival_time": 501})
     assert not np.array_equal(x["expression"], y["expression"])
+
+
+def test_profile_cache_hits_stay_audited(trained_checkpoint, tmp_path):
+    """Cache hits must still feed drift detection and the PHI-safe
+    audit log (round-2 ADVICE: returning before both made repeated
+    requests invisible to monitoring)."""
+    import json
+
+    service = GenerationService(
+        trained_checkpoint, profile_cache_size=2,
+        request_log_path=str(tmp_path / "req.log"),
+    )
+    service.generate(3, {"survival_time": 501})
+    drift_count = service.drift.count if service.drift is not None else None
+    service.generate(3, {"survival_time": 499})  # cache hit
+    assert service.metrics["cache_hits"] == 1
+    if service.drift is not None:
+        assert service.drift.count == drift_count + 3
+    lines = (tmp_path / "req.log").read_text().strip().splitlines()
+    assert len(lines) == 2
+    last = json.loads(lines[-1].split("generation ", 1)[1])
+    assert last.get("cached") is True

@@ -158,3 +158,78 @@ def test_chi2_sampling_is_seeded(rng):
     r2 = BiologicalValidator(cfg, seed=3).validate_mutation_cooccurrence(real, synth)
     assert (r1["cooccurrence_pattern_correlation"]
             == r2["cooccurrence_pattern_correlation"])
+
+
+def test_size_matched_ks_restores_nominal_alpha(validator, rng):
+    """Round-2 VERDICT weak #4: at n_real << n_synth the raw KS
+    fraction reads ~0.6 on healthy cohorts. The size-matched variant
+    compares n_real-sized subsamples and should sit near alpha for
+    same-distribution data (and well below the raw fraction when the
+    synthetic cohort has an epsilon-level marginal offset)."""
+    n_real, n_synth, d = 100, 4000, 40
+    real = rng.normal(size=(n_real, d)).astype(np.float32)
+    # Epsilon marginal offset: enough for the 100-vs-4000 test to
+    # flag many features, invisible at matched size.
+    synth = rng.normal(size=(n_synth, d)).astype(np.float32) + 0.08
+    res = validator.statistical_tests(real, synth)
+    assert "ks_matched_fraction_significant" in res
+    assert "ks_matched_mean_pvalue" in res
+    assert 0.0 <= res["ks_matched_fraction_significant"] <= 1.0
+    assert (res["ks_matched_fraction_significant"]
+            <= res["ks_test_fraction_significant"] + 0.05)
+    assert res["ks_matched_fraction_significant"] < 0.3
+
+
+def test_size_matched_ks_skipped_when_not_larger(validator, rng):
+    real = rng.normal(size=(50, 10)).astype(np.float32)
+    synth = rng.normal(size=(50, 10)).astype(np.float32)
+    res = validator.statistical_tests(real, synth)
+    assert "ks_matched_fraction_significant" not in res
+
+
+def test_novelty_flags_memorization(validator, rng):
+    """A resampler (synthetic = copies of real rows) must be flagged;
+    fresh same-distribution draws must not."""
+    real = rng.normal(size=(60, 30)).astype(np.float32)
+    copies = real[rng.integers(0, 60, size=200)]
+    res = validator.novelty_metrics(real, copies)
+    assert res["exact_duplicate_rate"] > 0.99
+    assert res["duplicate_rate"] > 0.99
+    assert res["nn_distance_ratio"] < 0.01
+    assert res["memorization_fraction"] > 0.99
+
+    fresh = rng.normal(size=(200, 30)).astype(np.float32)
+    res2 = validator.novelty_metrics(real, fresh)
+    assert res2["exact_duplicate_rate"] == 0.0
+    assert res2["duplicate_rate"] < 0.05
+    assert 0.8 < res2["nn_distance_ratio"] < 1.6
+    # In-distribution draws land inside a LOO ball about half the
+    # time by symmetry — nowhere near the resampler's ~1.0.
+    assert res2["memorization_fraction"] < 0.8
+
+
+def test_novelty_in_validate_all(validator, rng):
+    genes = ["TP53", "RB1", "MDM2", "G1", "G2", "G3"]
+    freqs = [0.6, 0.4, 0.1, 0.3, 0.2, 0.5]
+    real_mut = make_mutations(rng, 50, genes, freqs)
+    synth_mut = make_mutations(rng, 80, genes, freqs)
+    cols_e = [f"E{i}" for i in range(8)]
+    cols_p = [f"P{i}" for i in range(4)]
+    real_expr = pd.DataFrame(rng.normal(size=(50, 8)), columns=cols_e)
+    synth_expr = pd.DataFrame(rng.normal(size=(80, 8)), columns=cols_e)
+    real_path = pd.DataFrame(rng.normal(size=(50, 4)), columns=cols_p)
+    synth_path = pd.DataFrame(rng.normal(size=(80, 4)), columns=cols_p)
+    res = validator.validate_all(
+        real_mut, real_expr, real_path, synth_mut, synth_expr, synth_path
+    )
+    assert "nn_distance_ratio" in res
+    assert "memorization_fraction" in res
+    # Novelty metrics are diagnostics, not score components.
+    expected = np.mean([
+        res["mutation_frequency_correlation"],
+        res["cooccurrence_pattern_correlation"],
+        1 - res["mutual_exclusivity_violation_rate"],
+    ])
+    np.testing.assert_allclose(
+        res["overall_biological_score"], expected, rtol=1e-6
+    )
