@@ -120,6 +120,22 @@ def write_summary_report(
             f"(PASS >= {PASS_THRESHOLD}, REVIEW >= {REVIEW_THRESHOLD}, "
             f"FAIL below)"
         )
+    nn_ratio = validation_results.get("nn_distance_ratio")
+    if nn_ratio is not None:
+        dup = validation_results.get("exact_duplicate_rate", 0.0)
+        # A distributional score can be earned by re-rendering training
+        # patients; the novelty audit is what rules that out.
+        if dup > 0.01 or nn_ratio < 0.2:
+            verdict = "MEMORIZATION SUSPECTED"
+        elif nn_ratio < 0.5:
+            verdict = "REVIEW (synthetic sits close to training patients)"
+        else:
+            verdict = "NOVEL (synthetic patients are not re-renders)"
+        lines.append("")
+        lines.append(
+            f"Novelty audit: nn_distance_ratio={nn_ratio:.3f}, "
+            f"exact_duplicate_rate={dup:.4f} -> {verdict}"
+        )
     report = "\n".join(lines)
     output_path.parent.mkdir(parents=True, exist_ok=True)
     output_path.write_text(report)

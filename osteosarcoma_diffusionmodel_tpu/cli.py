@@ -204,6 +204,12 @@ def train_model(config: Config, resume: bool = False, profile: bool = False):
                 "mutation head (no pathwise gradient through bit draws); "
                 "skipping"
             )
+        elif getattr(model, "latent_factor_dim", 0) > 0:
+            logger.warning(
+                "sample_path_finetune does not support latent-factor "
+                "conditioning (the DDIM chain would need prior draws "
+                "threaded through the loss); skipping"
+            )
         else:
             _banner("STEP 4b: Sample-path fine-tuning (differentiable DDIM)")
             import jax

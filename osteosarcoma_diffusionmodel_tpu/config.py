@@ -86,6 +86,13 @@ class DiffusionConfig:
     # dispersion then matches the data without post-hoc calibration.
     learn_sigma: bool = False
     sigma_loss_weight: float = 1.0
+    # Latent-factor conditioning (round-3 model-owned joint-structure
+    # candidate): k > 0 trains a small x0->k encoder whose output is
+    # appended to the clinical conditions; generation draws the k
+    # factors from a Gaussian prior fitted on the training cohort's
+    # encoded latents. The 62-gene mutation joint is then carried by
+    # k(k+1)/2 prior parameters instead of 62^2/2 pairwise estimates.
+    latent_factor_dim: int = 0
     # Clamp the predicted x0 during sampling (standard DDPM
     # clip_denoised); disable for strict reference parity.
     clip_denoised: bool = True
@@ -338,7 +345,11 @@ class GenerationConfig:
     #   false      — raw model output (the reference's fixed 0.5 cut,
     #                reference generate.py:135)
     # true is accepted as an alias for "copula_full".
-    calibrate_marginals: Any = "copula_full"
+    # Marginal/joint calibration mode: copula_joint (default; one
+    # latent-Gaussian factor over the full patient vector — fixes the
+    # n=400 cross-block and coherence regressions, see ops/copula.py) |
+    # copula_full | copula | quantile | moment | false.
+    calibrate_marginals: Any = "copula_joint"
     scenarios: List[Scenario] = field(
         default_factory=lambda: [
             Scenario(

@@ -70,6 +70,7 @@ class SyntheticPatientGenerator:
         self._copula = None
         self._cont_chol = None
         self._joint = None
+        self._latent_prior = None
         # Fused Pallas samplers (ops/fused_sampler.py), probed lazily
         # per variant; key None = DDPM, int = that many DDIM steps;
         # False = probed and unsupported.
@@ -142,10 +143,44 @@ class SyntheticPatientGenerator:
             )
         return self._fused_cache[ddim_steps]
 
+    def _latent_prior_draw(
+        self, num_samples: int, rng: jax.Array
+    ) -> jnp.ndarray:
+        """Draw latent factors from the Gaussian prior fitted on the
+        training cohort's encoded latents (models/diffusion.py
+        latent_factor_dim)."""
+        if self._latent_prior is None:
+            real = jnp.asarray(np.asarray(self.data_stats["data_matrix"]))
+            h = np.asarray(self.model.encode_latents(self.params, real))
+            mu = h.mean(axis=0)
+            cov = np.cov(h, rowvar=False, bias=True)
+            cov = np.atleast_2d(cov) + 1e-6 * np.eye(h.shape[1])
+            self._latent_prior = (
+                jnp.asarray(mu, jnp.float32),
+                jnp.asarray(np.linalg.cholesky(cov), jnp.float32),
+            )
+            logger.info(
+                "Latent-factor prior fitted on %d cohort latents (k=%d)",
+                h.shape[0], h.shape[1],
+            )
+        mu, chol = self._latent_prior
+        z = jax.random.normal(rng, (num_samples, mu.shape[0]), jnp.float32)
+        return mu[None, :] + z @ chol.T
+
     def _sample_raw(
         self, conditions: jnp.ndarray, rng: jax.Array
     ) -> jnp.ndarray:
         gen = self.config.generation
+        if (
+            getattr(self.model, "latent_factor_dim", 0) > 0
+            and self.data_stats is not None
+            and "data_matrix" in self.data_stats
+        ):
+            rng, h_rng = jax.random.split(rng)
+            h = self._latent_prior_draw(conditions.shape[0], h_rng)
+            conditions = jnp.concatenate(
+                [conditions, h.astype(conditions.dtype)], axis=1
+            )
         if self.mesh is not None:
             conditions = jax.device_put(conditions, batch_sharding(self.mesh))
             params = jax.device_put(self.params, replicated(self.mesh))
@@ -265,7 +300,7 @@ class SyntheticPatientGenerator:
         m, e = self.dims.mutation_dim, self.dims.expression_dim
         mode = self.config.generation.calibrate_marginals
         if mode is True:
-            mode = "copula_full"
+            mode = "copula_joint"
         calibrate = (
             bool(mode) and self.data_stats is not None and samples.shape[0] > 1
         )
@@ -343,10 +378,13 @@ class SyntheticPatientGenerator:
                 real = np.asarray(stats["data_matrix"])
                 self._joint = fit_joint_copula(real[:, :m], real[:, m:])
                 logger.info(
-                    "Joint copula fitted (shrink=%.3g)", self._joint[2]
+                    "Joint copula fitted (shrink=%.3g)", self._joint[3]
                 )
-            freq, chol, _ = self._joint
-            mutations, cont = joint_transplant(samples, chol, freq, m)
+            freq, chol, tetra, _ = self._joint
+            mutations, cont = joint_transplant(
+                samples, chol, freq, m, tetra=tetra,
+                tie_rng=np.random.default_rng(self._tie_seed()),
+            )
             return mutations, self._quantile_map_continuous(cont, m)
         if getattr(self.model, "discrete_head", False):
             # The binary D3PM head owns the mutation block: samples are
@@ -366,7 +404,10 @@ class SyntheticPatientGenerator:
                     np.asarray(stats["mutation_matrix"])
                 )
             freq, corr = self._copula
-            mutations = correlation_transplant(raw_mut, corr, freq)
+            mutations = correlation_transplant(
+                raw_mut, corr, freq,
+                rng=np.random.default_rng(self._tie_seed()),
+            )
         else:
             freq = np.clip(
                 np.asarray(stats["mutation_freq"], np.float64), 0.0, 1.0
@@ -392,8 +433,18 @@ class SyntheticPatientGenerator:
                 self._cont_chol = fit_continuous_copula_chol(
                     np.asarray(stats["data_matrix"])[:, m:]
                 )
-            cont = gaussian_transplant(cont, self._cont_chol)
+            cont = gaussian_transplant(
+                cont, self._cont_chol,
+                tie_rng=np.random.default_rng(self._tie_seed()),
+            )
         return mutations, self._quantile_map_continuous(cont, m, mode)
+
+    def _tie_seed(self) -> int:
+        """Deterministic seed for rank tie-breaking: bf16 kernel
+        readback leaves ~95% exact-tie values per column at 10k
+        cohorts; ties must break randomly (not by row order) but
+        reproducibly for a fixed generation seed."""
+        return int(self.config.training.random_seed) + 104729
 
     def _quantile_map_continuous(
         self, cont: np.ndarray, m: int, mode: str = "copula_joint"

@@ -107,6 +107,11 @@ class ConditionalDiffusion:
     # unweighted mean, matching the reference. Built from the block
     # dims by from_config when block_loss_weighting == "balanced".
     feature_loss_weights: Optional[np.ndarray] = None
+    # Latent-factor conditioning (see DiffusionDenoiser
+    # latent_factor_dim): k > 0 appends an encoder latent to the
+    # conditions during training; generation draws it from a Gaussian
+    # prior fitted on the training cohort's encoded latents.
+    latent_factor_dim: int = 0
     # Clamp predicted x0 during sampling (prevents the reverse chain
     # from exploding through the clipped-beta schedule tail).
     clip_denoised: bool = True
@@ -161,6 +166,7 @@ class ConditionalDiffusion:
             dtype=jnp.dtype(mc.compute_dtype),
             input_skip=mc.denoiser_input_skip,
             learn_sigma=mc.diffusion.learn_sigma,
+            latent_factor_dim=mc.diffusion.latent_factor_dim,
         )
         schedule = DiffusionSchedule.create(
             mc.diffusion.beta_schedule, mc.diffusion.num_steps
@@ -201,6 +207,7 @@ class ConditionalDiffusion:
             noise_type=config.generation.noise_type,
             cfg_dropout_prob=mc.cfg_dropout_prob,
             parameterization=mc.diffusion.parameterization,
+            latent_factor_dim=mc.diffusion.latent_factor_dim,
             feature_loss_weights=feature_weights,
             clip_denoised=mc.diffusion.clip_denoised,
             denoised_clip_value=mc.diffusion.denoised_clip_value,
@@ -214,8 +221,24 @@ class ConditionalDiffusion:
     def init_params(self, rng: jax.Array, condition_dim: int):
         x = jnp.zeros((2, self.denoiser.data_dim), jnp.float32)
         t = jnp.zeros((2,), jnp.float32)
-        c = jnp.zeros((2, condition_dim), jnp.float32)
+        # Condition input is [clinical | latent factors] when the
+        # latent-factor encoder is on.
+        c = jnp.zeros(
+            (2, condition_dim + self.latent_factor_dim), jnp.float32
+        )
+        if self.latent_factor_dim > 0:
+            return self.denoiser.init(
+                {"params": rng}, x, t, c,
+                method=DiffusionDenoiser.init_all,
+            )["params"]
         return self.denoiser.init({"params": rng}, x, t, conditions=c)["params"]
+
+    def encode_latents(self, params, x0: jnp.ndarray) -> jnp.ndarray:
+        """Encode clean patient vectors to latent factors (generation
+        fits its Gaussian prior on the real cohort through this)."""
+        return self.denoiser.apply(
+            {"params": params}, x0, method=DiffusionDenoiser.encode_latent
+        )
 
     # ------------------------------------------------------------------
     # Parameterization helpers
@@ -290,6 +313,18 @@ class ConditionalDiffusion:
             x_t = cont_t
         t_norm = t.astype(jnp.float32) / self.schedule.num_steps
 
+        if self.latent_factor_dim > 0:
+            # Factors from the CLEAN vector condition the denoiser:
+            # the reverse chain then reconstructs joint structure the
+            # prior encodes in k dims. Appended before CFG dropout so
+            # the unconditional score drops them with the clinicals.
+            h = self.denoiser.apply(
+                {"params": params}, x0,
+                method=DiffusionDenoiser.encode_latent,
+            )
+            metrics_h = jnp.mean(h * h)
+            conditions = jnp.concatenate([conditions, h], axis=1)
+
         if self.cfg_dropout_prob > 0:
             # Classifier-free guidance training: zero the condition
             # vector for a random subset so the model also learns the
@@ -325,6 +360,11 @@ class ConditionalDiffusion:
         mse = jnp.mean(err)
         metrics = {"diffusion_loss": mse}
         total = mse
+        if self.latent_factor_dim > 0:
+            # Soft prior pull: keeps encoded factors in a range the
+            # generation-time Gaussian prior fit can cover.
+            metrics["latent_sq"] = metrics_h
+            total = total + 1e-3 * metrics_h
         if M:
             ce = jnp.mean(bernoulli_cross_entropy(mut_logits, mut0))
             metrics["mutation_ce"] = ce

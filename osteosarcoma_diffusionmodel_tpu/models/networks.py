@@ -103,8 +103,25 @@ class DiffusionDenoiser(nn.Module):
     # noise at the final reverse step. Restores the marginal dispersion
     # an MSE-trained conditional-mean predictor shrinks away.
     learn_sigma: bool = False
+    # Latent-factor conditioning (round-3 model-owned joint-structure
+    # candidate, ROADMAP §2): a small encoder maps the clean patient
+    # vector to `latent_factor_dim` factors appended to the clinical
+    # conditions. The 62-gene joint is then carried by k(k+1)/2 prior
+    # parameters instead of 62^2/2 pairwise ones — the quantity the
+    # D3PM/finetune experiments measured as unidentifiable at n<=400.
+    # At generation the factors are drawn from a Gaussian prior fitted
+    # on the training cohort's encoded latents.
+    latent_factor_dim: int = 0
 
     def setup(self):
+        if self.latent_factor_dim > 0:
+            self.latent_encoder_fc1 = nn.Dense(
+                128, dtype=self.dtype, name="latent_enc_fc1"
+            )
+            self.latent_encoder_fc2 = nn.Dense(
+                self.latent_factor_dim, dtype=jnp.float32,
+                name="latent_enc_fc2",
+            )
         hidden = list(self.hidden_dims)
         self.time_embed = TimeEmbedding(self.time_dim)
         self.time_proj = nn.Dense(hidden[0], dtype=self.dtype)
@@ -144,9 +161,24 @@ class DiffusionDenoiser(nn.Module):
     def embed_conditions(self, conditions: jnp.ndarray) -> jnp.ndarray:
         """Project clinical conditions to the model width.
 
-        Loop-invariant during sampling: call once, reuse every scan step.
+        Loop-invariant during sampling: call once, reuse every scan
+        step. With latent_factor_dim > 0 the input is the AUGMENTED
+        condition vector [clinical | latent factors].
         """
         return self.cond_proj(self.condition_embed(conditions))
+
+    def encode_latent(self, x0: jnp.ndarray) -> jnp.ndarray:
+        """Clean patient vector -> latent factors (training: appended
+        to conditions; generation: replaced by prior draws)."""
+        h = nn.silu(self.latent_encoder_fc1(x0.astype(self.dtype)))
+        return self.latent_encoder_fc2(h).astype(jnp.float32)
+
+    def init_all(self, x, t, conditions):
+        """Initialization entry touching every submodule (flax creates
+        params lazily; plain __call__ would skip the latent encoder)."""
+        if self.latent_factor_dim > 0:
+            self.encode_latent(x)
+        return self(x, t, conditions=conditions)
 
     def __call__(
         self,

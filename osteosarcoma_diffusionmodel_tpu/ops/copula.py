@@ -180,10 +180,25 @@ def fit_binary_copula(binary: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return freq, nearest_corr_psd(corr)
 
 
-def _normal_scores(x: np.ndarray) -> np.ndarray:
-    """Per-column rank -> standard-normal scores (van der Waerden)."""
+def _normal_scores(
+    x: np.ndarray, tie_rng: Optional[np.random.Generator] = None
+) -> np.ndarray:
+    """Per-column rank -> standard-normal scores (van der Waerden).
+
+    ``tie_rng``: randomizes the order WITHIN exact-value ties. Model
+    outputs read back from bf16 kernels carry ~95% tied values per
+    column at 10k cohorts; stable argsort would order every tie block
+    by row index — the same arbitrary order in every column — which is
+    a deterministic shared signal the downstream whitening then
+    mistakes for cross-feature correlation."""
     n = x.shape[0]
-    order = np.argsort(x, axis=0, kind="stable")
+    if tie_rng is not None:
+        # Random secondary sort key: decides order among exact ties
+        # only (primary float comparison wins everywhere else).
+        sec = tie_rng.random(x.shape)
+        order = np.lexsort((sec, x), axis=0)
+    else:
+        order = np.argsort(x, axis=0, kind="stable")
     ranks = np.empty_like(order)
     rows = np.arange(n)[:, None]
     np.put_along_axis(ranks, order, np.broadcast_to(rows, order.shape), axis=0)
@@ -210,7 +225,7 @@ def correlation_transplant(
     """
     scores = np.asarray(scores, np.float64)
     n, d = scores.shape
-    u = _normal_scores(scores)
+    u = _normal_scores(scores, tie_rng=rng)
 
     if n > d + 1:
         emp = np.corrcoef(u, rowvar=False)
@@ -275,30 +290,79 @@ def fit_continuous_copula_chol(
     return np.linalg.cholesky(c.astype(np.float64)).astype(np.float32)
 
 
+def _whiten_exact(u: np.ndarray, floor: float = 1e-6) -> np.ndarray:
+    """Exact (eigen) whitening of unit-variance scores.
+
+    Round-3 measured fix: a mean-seeking denoiser emits STRONGLY
+    correlated raw scores (within-pathway coherence 0.957 on the n=400
+    probe). Ridge-regularized Cholesky whitening (the round-2 path)
+    under-corrects by ~the ridge — leftover coherence up to 0.20 per
+    pathway — and the recolor then ADDS the target on top, inflating
+    synthetic coherence (0.48 vs real 0.38) and cratering the
+    coherence-pattern correlation to 0.48 (DEMO_N400). Eigen-whitening
+    removes the model structure exactly; directions at the eigenvalue
+    floor carry no signal and become fresh-noise-equivalent.
+    """
+    n, d = u.shape
+    if n < d:
+        # Dual-space (kernel-trick) whitening: the D x D Gram shares
+        # its nonzero spectrum with the N x N matrix u u^T / n, so a
+        # small-cohort request (serving batches of 64 against D~5k)
+        # pays an N^3 eigh instead of a D^3 one. Null-space components
+        # of u are zero, so only the span needs whitening.
+        k_mat = (u.astype(np.float64) @ u.astype(np.float64).T) / n
+        eigval, q_vec = np.linalg.eigh(k_mat)
+        inv_sqrt = np.where(
+            eigval > floor, 1.0 / np.sqrt(np.maximum(eigval, floor)), 0.0
+        )
+        # W = Q Lam^{-1/2} Q^T U: then W^T W / n = V V^T (identity on
+        # the span of U — verified in tests against the primal path).
+        w = ((q_vec * inv_sqrt) @ (q_vec.T @ u.astype(np.float64))).astype(
+            np.float32
+        )
+    else:
+        gram = (u.astype(np.float64).T @ u.astype(np.float64)) / n
+        eigval, eigvec = np.linalg.eigh(gram)
+        inv_sqrt = 1.0 / np.sqrt(np.maximum(eigval, floor))
+        w = (u @ (eigvec * inv_sqrt).astype(np.float32)) @ eigvec.T.astype(
+            np.float32
+        )
+    return w / np.maximum(w.std(axis=0, keepdims=True), 1e-9)
+
+
 def gaussian_transplant(
-    scores: np.ndarray, target_chol: np.ndarray, ridge: float = 0.05
+    scores: np.ndarray,
+    target_chol: np.ndarray,
+    ridge: float = 0.05,
+    tie_rng: Optional[np.random.Generator] = None,
+    whiten: str = "exact",
 ) -> np.ndarray:
     """Impose a target latent correlation on continuous scores.
 
-    Rank -> normal scores, whiten by the cohort's own (ridge-shrunk,
-    PSD-by-construction) normal-scores correlation, recolor with the
-    target Cholesky. Returns the recolored Gaussian z, (N, D); callers
-    quantile-map its per-column ranks onto the real marginals.
+    Rank -> normal scores, whiten the cohort's own normal-scores
+    correlation away (``whiten``: "exact" eigen-whitening by default —
+    see _whiten_exact for the measured round-2 failure of "ridge"),
+    recolor with the target Cholesky. Returns the recolored Gaussian z,
+    (N, D); callers quantile-map its per-column ranks onto the real
+    marginals.
     """
-    from scipy.linalg import solve_triangular
-
     scores = np.asarray(scores, np.float32)
     n, d = scores.shape
-    u = _normal_scores(scores).astype(np.float32)
+    u = _normal_scores(scores, tie_rng=tie_rng).astype(np.float32)
     u /= np.maximum(u.std(axis=0, keepdims=True), 1e-9)
 
-    # The ridge keeps the Gram PD even when n < d (per-scenario cohorts
-    # can be smaller than the feature dim), so whitening always applies.
-    gram = (u.T @ u) / n
-    c = (1.0 - ridge) * gram + ridge * np.eye(d, dtype=np.float32)
-    l_emp = np.linalg.cholesky(c.astype(np.float64)).astype(np.float32)
-    w = solve_triangular(l_emp, u.T, lower=True).T.astype(np.float32)
-    w /= np.maximum(w.std(axis=0, keepdims=True), 1e-9)
+    if whiten == "exact":
+        w = _whiten_exact(u)
+    else:
+        from scipy.linalg import solve_triangular
+
+        # The ridge keeps the Gram PD even when n < d (per-scenario
+        # cohorts can be smaller than the feature dim).
+        gram = (u.T @ u) / n
+        c = (1.0 - ridge) * gram + ridge * np.eye(d, dtype=np.float32)
+        l_emp = np.linalg.cholesky(c.astype(np.float64)).astype(np.float32)
+        w = solve_triangular(l_emp, u.T, lower=True).T.astype(np.float32)
+        w /= np.maximum(w.std(axis=0, keepdims=True), 1e-9)
     return (w @ target_chol.T).astype(np.float32)
 
 
@@ -387,13 +451,20 @@ def pearson_to_latent(
 
 
 def polyserial_latent(
-    binary: np.ndarray, cont_scores: np.ndarray
+    binary: np.ndarray, cont_scores: np.ndarray, soft_threshold: float = 0.0
 ) -> np.ndarray:
     """Latent correlation between binary and continuous columns.
 
     For Y = 1{Z1 > a} and U the (unit-variance normal-scores proxy of)
     Z2, E[Y U] = rho * phi(a) exactly under the latent-Gaussian model,
     so rho = Cov(Y, U) / phi(a) — one matmul for all (M, Dc) pairs.
+
+    ``soft_threshold``: shrink each estimate toward zero by that many
+    standard errors (SE ~= sqrt(p(1-p))/(phi(a) sqrt(n))). At n << Dc
+    the raw (M, Dc) block is a dense noise matrix whose operator norm
+    ~ SE*(sqrt(M)+sqrt(Dc)) wrecks joint PSD-ness; soft-thresholding
+    keeps the real couplings (driver->pathway rules sit at |rho|~0.5)
+    and zeroes the sea of noise.
     """
     binary = np.asarray(binary, np.float64)
     n = binary.shape[0]
@@ -403,6 +474,15 @@ def polyserial_latent(
     centered = cont_scores - cont_scores.mean(axis=0)
     cov = (binary - p).T @ centered / n
     rho = cov / np.maximum(phi_a[:, None], 1e-9)
+    if soft_threshold > 0:
+        se = (
+            np.sqrt(np.clip(p * (1.0 - p), 1e-12, None))
+            / np.maximum(phi_a, 1e-9)
+            / np.sqrt(n)
+        )[:, None]
+        rho = np.sign(rho) * np.maximum(
+            np.abs(rho) - soft_threshold * se, 0.0
+        )
     rho[(p <= 1e-9) | (p >= 1 - 1e-9)] = 0.0
     return np.clip(rho, -0.99, 0.99)
 
@@ -410,84 +490,57 @@ def polyserial_latent(
 def fit_joint_copula(
     real_mut: np.ndarray,
     real_cont: np.ndarray,
-    n_terms: int = 10,
     shrink: float = 0.02,
-    cont_latent: str = "rank",
-) -> Tuple[np.ndarray, np.ndarray, float]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
     """Joint latent-Gaussian correlation over [mutations | continuous].
 
-    Assembles the target from three estimators —
-    - binary x binary: tetrachoric (fit_binary_copula),
-    - binary x continuous: polyserial closed form,
-    - continuous x continuous: per ``cont_latent`` —
-      * "rank" (default): the normal-scores (van der Waerden)
-        correlation — the round-2 copula_full behavior, matching
-        Spearman structure. A Gram matrix, so PSD by construction even
-        at n << D; the whole assembly then needs only a small shrink
-        to absorb the tetrachoric/polyserial blocks.
-      * "gain": the real Pearson correlation divided by the separable
-        first-order Hermite gains gamma_i = b_1i / sd_i, compensating
-        the Pearson attenuation the quantile map induces on
-        non-Gaussian marginals. At n << D the unit-diagonal reset
-        costs PSD-ness faster than shrink can recover — use when
-        n is comparable to D.
-      * "exact": full Hermite inversion (pearson_to_latent); intended
-        for small D.
-    Returns (freq, L, shrink_used) with L = chol((1-s) C + s I) for
-    the smallest doubling s >= ``shrink`` that is PD.
+    The target is the GRAM of per-column scores — standardized binary
+    values for the mutation block, van der Waerden normal scores for
+    the continuous block — which makes it PSD by construction even at
+    n << D. Block-wise that is: phi coefficients (binary x binary),
+    attenuated polyserial (binary x continuous, right sign/pattern,
+    magnitude scaled by phi(a)/sqrt(p(1-p))), and rank correlation
+    (continuous x continuous). Assembling "exact" per-block estimators
+    instead (tetrachoric / full polyserial) measurably fails here: at
+    n=400, D=5142 their block-consistency violations push lambda_min
+    so low that the shrink needed to recover PD-ness (0.64) destroys
+    the structure being transplanted (round-3 replay experiments).
 
-    One joint factor is what preserves cross-block structure: separate
+    One joint factor preserves cross-block structure: separate
     per-block transplants garble mutation<->pathway coupling (the
-    round-2 mutation_expression_violation_rate=0.5 regression at n=400).
+    round-2 mutation_expression_violation_rate=0.5 regression at
+    n=400). The attenuated mutation block is then sharpened by a
+    SECOND, 62-dim exact-tetrachoric transplant driven by the joint
+    z's mutation columns (joint_transplant with ``tetra``): measured
+    on the real n=400 probe this keeps the cross-block couplings
+    (TP53 -0.43, MYC +0.47) while lifting co-occurrence pattern
+    correlation to 0.986.
+
+    Returns (freq, L, tetra, shrink_used) with L = chol((1-s) G + s I)
+    for the smallest doubling s >= ``shrink`` that is PD, and
+    ``tetra`` the PSD tetrachoric correlation for the second stage.
     """
     real_mut = np.asarray(real_mut, np.float64)
     real_cont = np.asarray(real_cont, np.float64)
-    m = real_mut.shape[1]
-    freq, bcorr = fit_binary_copula(real_mut)
+    n, m = real_mut.shape
+    freq, tetra = fit_binary_copula(real_mut)
 
+    s_mut = (real_mut - freq) / np.sqrt(
+        np.clip(freq * (1.0 - freq), 1e-9, None)
+    )
     u_cont = _normal_scores(real_cont)
     u_cont /= np.maximum(u_cont.std(axis=0, keepdims=True), 1e-9)
-    cross = polyserial_latent(real_mut, u_cont)
+    scores = np.concatenate([s_mut, u_cont], axis=1)
+    gram = (scores.T @ scores) / n
+    np.fill_diagonal(gram, 1.0)
 
-    if cont_latent == "rank":
-        n = real_cont.shape[0]
-        cc = (u_cont.T @ u_cont) / n
-        np.fill_diagonal(cc, 1.0)
-    elif cont_latent == "exact":
-        coeffs = hermite_quantile_coeffs(
-            np.sort(real_cont, axis=0), n_terms=n_terms
-        )
-        cc = pearson_to_latent(
-            np.atleast_2d(np.cov(real_cont, rowvar=False, bias=True)),
-            coeffs,
-        )
-    else:  # "gain"
-        coeffs = hermite_quantile_coeffs(
-            np.sort(real_cont, axis=0), n_terms=n_terms
-        )
-        sd = np.sqrt(np.maximum((coeffs ** 2).sum(axis=0), 1e-12))
-        # gamma -> 1 for Gaussian marginals; bounded below so a wild
-        # column cannot blow up its whole row of latent correlations.
-        gamma = np.clip(coeffs[0] / sd, 0.5, 1.0)
-        with np.errstate(invalid="ignore"):
-            pearson = np.corrcoef(real_cont, rowvar=False)
-        pearson = np.nan_to_num(pearson, nan=0.0)
-        cc = np.clip(pearson / np.outer(gamma, gamma), -0.999, 0.999)
-        np.fill_diagonal(cc, 1.0)
-
-    d = m + real_cont.shape[1]
-    corr = np.empty((d, d))
-    corr[:m, :m] = bcorr
-    corr[:m, m:] = cross
-    corr[m:, :m] = cross.T
-    corr[m:, m:] = cc
-
+    d = gram.shape[0]
     s = shrink
     eye = np.eye(d)
     while s < 1.0:
         try:
-            chol = np.linalg.cholesky((1.0 - s) * corr + s * eye)
-            return freq, chol.astype(np.float32), s
+            chol = np.linalg.cholesky((1.0 - s) * gram + s * eye)
+            return freq, chol.astype(np.float32), tetra, s
         except np.linalg.LinAlgError:
             s *= 2.0
     raise np.linalg.LinAlgError("joint copula target could not be made PD")
@@ -499,6 +552,9 @@ def joint_transplant(
     freq: np.ndarray,
     m: int,
     ridge: float = 0.05,
+    tie_rng: Optional[np.random.Generator] = None,
+    whiten: str = "exact",
+    tetra: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One whiten/recolor over the full [mutation | continuous] vector.
 
@@ -508,21 +564,35 @@ def joint_transplant(
     downstream quantile mapping. Driven by the model's own scores (not
     fresh noise), so each patient's bits stay coupled to the
     expression/pathway profile generated alongside them.
-    """
-    from scipy.linalg import solve_triangular
 
+    ``tetra``: optional exact tetrachoric correlation for the second
+    stage (fit_joint_copula returns it): the joint Gram target's
+    mutation block carries phi-attenuated correlations, so the
+    mutation z is re-transplanted through a 62-dim exact-tetrachoric
+    whiten/recolor before thresholding. Measured on the real n=400
+    probe: co-occurrence pattern correlation 0.926 -> 0.986 with the
+    cross-block couplings intact.
+    """
     raw = np.asarray(raw, np.float32)
     n, d = raw.shape
-    u = _normal_scores(raw).astype(np.float32)
+    u = _normal_scores(raw, tie_rng=tie_rng).astype(np.float32)
     u /= np.maximum(u.std(axis=0, keepdims=True), 1e-9)
-    gram = (u.T @ u) / n
-    c = (1.0 - ridge) * gram + ridge * np.eye(d, dtype=np.float32)
-    l_emp = np.linalg.cholesky(c.astype(np.float64)).astype(np.float32)
-    w = solve_triangular(l_emp, u.T, lower=True).T.astype(np.float32)
-    w /= np.maximum(w.std(axis=0, keepdims=True), 1e-9)
+    if whiten == "exact":
+        w = _whiten_exact(u)
+    else:
+        from scipy.linalg import solve_triangular
+
+        gram = (u.T @ u) / n
+        c = (1.0 - ridge) * gram + ridge * np.eye(d, dtype=np.float32)
+        l_emp = np.linalg.cholesky(c.astype(np.float64)).astype(np.float32)
+        w = solve_triangular(l_emp, u.T, lower=True).T.astype(np.float32)
+        w /= np.maximum(w.std(axis=0, keepdims=True), 1e-9)
     z = (w @ chol.T).astype(np.float32)
 
     zm, zc = z[:, :m], z[:, m:]
+    if tetra is not None and n > m + 1:
+        bits = correlation_transplant(zm, tetra, freq, rng=tie_rng)
+        return bits, zc
     k = np.clip(np.round(np.asarray(freq) * n).astype(int), 0, n)
     bits = np.zeros((n, m), np.float32)
     for g in range(m):

@@ -63,6 +63,10 @@ def main():
         cfg.model.diffusion.learn_sigma = True
     if os.environ.get("DEMO_DISCRETE"):  # binary D3PM mutation head
         cfg.model.diffusion.discrete_mutation_head = True
+    if "DEMO_LATENT_K" in os.environ:  # latent-factor conditioning
+        cfg.model.diffusion.latent_factor_dim = int(
+            os.environ["DEMO_LATENT_K"]
+        )
     if os.environ.get("DEMO_FINETUNE"):  # sample-path fine-tune (STEP 4b)
         cfg.training.sample_path_finetune.enabled = True
         cfg.training.sample_path_finetune.steps = int(
@@ -105,6 +109,27 @@ def main():
     with open(out, "w") as f:
         json.dump(timings, f, indent=2)
     print(json.dumps(timings, indent=2))
+
+    if "--assert" in sys.argv:
+        _assert_quality_gate(timings["validation"])
+
+
+def _assert_quality_gate(validation):
+    """Production quality gate (reference docs/DEPLOYMENT.md:478-508):
+    overall biological score >= 0.85, MMD < 0.15. Run via
+    `python scripts/demo_full_scale.py --assert` so the committed demo
+    JSONs cannot silently go stale (round-2 VERDICT weak #5)."""
+    overall = validation["overall_biological_score"]
+    mmd = validation["mmd"]
+    failures = []
+    if overall < 0.85:
+        failures.append(f"overall_biological_score {overall:.4f} < 0.85")
+    if mmd >= 0.15:
+        failures.append(f"mmd {mmd:.4f} >= 0.15")
+    if failures:
+        print("QUALITY GATE FAILED: " + "; ".join(failures))
+        sys.exit(1)
+    print(f"QUALITY GATE PASSED: overall={overall:.4f} mmd={mmd:.4f}")
 
 
 if __name__ == "__main__":

@@ -349,11 +349,12 @@ def test_joint_transplant_preserves_cross_block_sign():
     cont[:, 0] -= 1.5 * mut[:, 0]  # TP53-style suppression
     cont[:, 1] += 1.2 * mut[:, 1]  # MYC-style activation
 
-    freq, chol, shrink = fit_joint_copula(mut, cont)
+    freq, chol, tetra, shrink = fit_joint_copula(mut, cont)
     assert shrink < 0.5
+    assert tetra.shape == (4, 4)
 
     raw = rng.normal(size=(5000, 10)).astype(np.float32)
-    bits, z_cont = joint_transplant(raw, chol, freq, 4)
+    bits, z_cont = joint_transplant(raw, chol, freq, 4, tetra=tetra)
     assert set(np.unique(bits)) <= {0.0, 1.0}
     # Exact marginal counts.
     np.testing.assert_allclose(
@@ -363,3 +364,29 @@ def test_joint_transplant_preserves_cross_block_sign():
     c_pos = np.corrcoef(bits[:, 1], z_cont[:, 1])[0, 1]
     assert c_neg < -0.2
     assert c_pos > 0.2
+
+
+def test_whiten_exact_primal_and_dual_agree():
+    """_whiten_exact's dual (N < D, kernel-trick) path must whiten as
+    exactly as the primal: corr(W) = I on the span, and for N > D the
+    two agree on producing unit covariance."""
+    from osteosarcoma_diffusionmodel_tpu.ops.copula import _whiten_exact
+
+    rng = np.random.default_rng(0)
+    # Correlated inputs via a low-rank mixer.
+    mixer = rng.normal(size=(6, 20))
+    u_big = (rng.normal(size=(500, 6)) @ mixer
+             + 0.1 * rng.normal(size=(500, 20))).astype(np.float32)
+    w = _whiten_exact(u_big)  # primal (n >= d)
+    c = np.corrcoef(w, rowvar=False)
+    assert np.abs(c - np.eye(20)).max() < 0.05
+
+    mixer2 = rng.normal(size=(6, 200))
+    u_small = (rng.normal(size=(30, 6)) @ mixer2
+               + 0.1 * rng.normal(size=(30, 200))).astype(np.float32)
+    w2 = _whiten_exact(u_small)  # dual (n < d)
+    # Within-span whitening: the Gram's nonzero spectrum is flat.
+    gram = w2 @ w2.T / 30
+    ev = np.linalg.eigvalsh(gram)
+    nz = ev[ev > 1e-3]
+    assert nz.max() / nz.min() < 1.5

@@ -40,3 +40,27 @@ def test_readme_and_roadmap_paths_resolve():
         cited = set(_PATH_RE.findall(text))
         missing = sorted(t for t in cited if not _resolve(t))
         assert not missing, f"{doc.name} cites nonexistent paths: {missing}"
+
+
+def test_quality_gate_assertion_logic():
+    """The --assert quality gate (scripts/demo_full_scale.py) enforces
+    the reference's production thresholds (DEPLOYMENT.md:478-508)."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from demo_full_scale import _assert_quality_gate
+
+    # Passing case: no exit.
+    _assert_quality_gate(
+        {"overall_biological_score": 0.98, "mmd": 0.07}
+    )
+    import pytest
+
+    with pytest.raises(SystemExit):
+        _assert_quality_gate(
+            {"overall_biological_score": 0.80, "mmd": 0.07}
+        )
+    with pytest.raises(SystemExit):
+        _assert_quality_gate(
+            {"overall_biological_score": 0.90, "mmd": 0.20}
+        )
