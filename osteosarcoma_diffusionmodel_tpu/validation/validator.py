@@ -330,10 +330,28 @@ class BiologicalValidator:
           reported alongside the real cohort's self-rate (0.5 by
           symmetry) rather than judged against zero.
         """
-        results = self._novelty_core(
-            jnp.asarray(real_data, jnp.float32),
-            jnp.asarray(synthetic_data, jnp.float32),
-        )
+        real = jnp.asarray(real_data, jnp.float32)
+        results = self._novelty_core(real, jnp.asarray(synthetic_data,
+                                                       jnp.float32))
+        # Noise floor for memorization_fraction: even a PERFECT
+        # generator's draws land inside some real patient's LOO ball;
+        # estimate that rate by treating one random half of the real
+        # cohort as "synthetic" against the other half. The verdict
+        # then reads the synthetic rate RELATIVE to this floor instead
+        # of against zero.
+        n = real.shape[0]
+        if n >= 8:
+            rng = np.random.default_rng(self.seed)
+            floors = []
+            for _ in range(3):
+                perm = rng.permutation(n)
+                a, b = perm[: n // 2], perm[n // 2:]
+                floors.append(
+                    self._novelty_core(real[jnp.asarray(b)],
+                                       real[jnp.asarray(a)])
+                    ["memorization_fraction"]
+                )
+            results["memorization_noise_floor"] = float(np.mean(floors))
         for key, value in results.items():
             logger.info("%s: %.4f", key, value)
         return results

@@ -163,3 +163,56 @@ def test_copula_joint_mode_end_to_end(generator_with_stats, rng):
     # Continuous marginals ride the real quantile grid.
     assert out["expression"].min() >= real[:, 5:17].min() - 1e-4
     assert out["expression"].max() <= real[:, 5:17].max() + 1e-4
+
+
+def test_replay_calibration_script_smoke(tmp_path, monkeypatch, capsys):
+    """scripts/replay_calibration.py runs against a dumped raw matrix +
+    a demo-style workdir (the round-3 diagnostic workflow)."""
+    import sys
+    from pathlib import Path
+
+    import pandas as pd
+
+    repo = Path(__file__).resolve().parent.parent
+    rng = np.random.default_rng(0)
+    from osteosarcoma_diffusionmodel_tpu.data.dataset import make_dummy_data
+    from osteosarcoma_diffusionmodel_tpu.data.pathways import PathwayFeatures
+
+    make_dummy_data(tmp_path / "processed", n_samples=40,
+                    n_mutation_genes=10, n_expression_genes=60, n_pathways=5)
+    eng = PathwayFeatures()
+    expr = pd.read_csv(tmp_path / "processed" /
+                       "expression_matrix_aligned.csv", index_col=0)
+    scores = eng.compute_pathway_scores_from_expression(expr)
+    scores.to_csv(tmp_path / "processed" / "pathway_scores.csv")
+    mut = pd.read_csv(tmp_path / "processed" /
+                      "mutation_matrix_aligned.csv", index_col=0)
+    pathz = (scores - scores.mean()) / scores.std().replace(0, 1.0)
+    data = np.concatenate(
+        [mut.values, expr.values, pathz.values], axis=1
+    ).astype(np.float32)
+    (tmp_path / "ckpt").mkdir()
+    np.savez_compressed(
+        tmp_path / "ckpt" / "data_stats.npz",
+        data_matrix=data,
+        mutation_matrix=mut.values.astype(np.float32),
+        mutation_freq=mut.values.mean(axis=0),
+        feature_mean=data.mean(axis=0),
+        feature_std=data.std(axis=0),
+        feature_sorted=np.sort(data, axis=0),
+    )
+    raw = rng.normal(size=(300, data.shape[1])).astype(np.float32)
+    np.savez_compressed(tmp_path / "raw.npz", samples=raw)
+
+    sys.path.insert(0, str(repo / "scripts"))
+    import replay_calibration
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["replay_calibration.py", str(tmp_path / "raw.npz"),
+         str(tmp_path), "copula_joint", "quantile"],
+    )
+    replay_calibration.main()
+    out = capsys.readouterr().out
+    assert "[copula_joint]" in out and "[quantile]" in out
+    assert "cooc=" in out

@@ -233,3 +233,20 @@ def test_novelty_in_validate_all(validator, rng):
     np.testing.assert_allclose(
         res["overall_biological_score"], expected, rtol=1e-6
     )
+
+
+def test_memorization_noise_floor(validator, rng):
+    """The split-half floor contextualizes memorization_fraction: an
+    in-distribution sampler's rate should sit near the floor, a
+    resampler's far above it."""
+    real = rng.normal(size=(80, 20)).astype(np.float32)
+    fresh = rng.normal(size=(100, 20)).astype(np.float32)
+    res = validator.novelty_metrics(real, fresh)
+    assert "memorization_noise_floor" in res
+    floor = res["memorization_noise_floor"]
+    assert 0.1 < floor < 0.95
+    assert res["memorization_fraction"] < floor + 0.25
+
+    copies = real[rng.integers(0, 80, size=100)]
+    res2 = validator.novelty_metrics(real, copies)
+    assert res2["memorization_fraction"] > res2["memorization_noise_floor"]
