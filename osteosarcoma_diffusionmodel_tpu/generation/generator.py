@@ -249,9 +249,19 @@ class SyntheticPatientGenerator:
             ):
                 fused = self._get_fused(params)
                 if fused is not False:
+                    # Calibration rewrites values from ranks, and the
+                    # kernel carry is bf16-precision anyway — halve the
+                    # device->host readback (the measured warm-generate
+                    # bottleneck on the tunneled backend).
+                    bf16_out = bool(
+                        self.config.generation.calibrate_marginals
+                        and self.data_stats is not None
+                    )
                     if self.mesh is not None:
-                        return fused.sample_sharded(self.mesh, conditions, rng)
-                    return fused.sample(conditions, rng)
+                        return fused.sample_sharded(
+                            self.mesh, conditions, rng, keep_bf16=bf16_out
+                        )
+                    return fused.sample(conditions, rng, keep_bf16=bf16_out)
             key = ("ddpm", guidance)
             if key not in self._sample_fns:
                 g = guidance
@@ -287,6 +297,11 @@ class SyntheticPatientGenerator:
         modality blocks (reference generate.py:130-144)."""
         import os
 
+        if samples.dtype != np.float32:
+            # bf16 readback (fused path with calibration on) — widen
+            # once on host; values are identical (the kernel carry is
+            # bf16-precision regardless of the transfer dtype).
+            samples = samples.astype(np.float32)
         if os.environ.get("OSDM_DUMP_RAW"):
             # Debug hook: persist the pre-calibration model outputs so
             # calibration variants can be replayed host-side without
@@ -323,15 +338,17 @@ class SyntheticPatientGenerator:
         """Marginal calibration against the training cohort.
 
         Mutations: by mode —
-        - "copula_joint": ONE latent-Gaussian factor over the full
-          [mutations | expression | pathways] vector — tetrachoric
-          mutation block, polyserial cross block (preserves
+        - "copula_joint" (default): ONE latent-Gaussian factor over the
+          full [mutations | expression | pathways] vector — a Gram
+          target (PSD by construction at n << D) whose cross block is
+          the attenuated polyserial structure (preserves
           mutation<->pathway coupling that separate transplants
-          garble), and a continuous block whose latent correlation is
-          Hermite-inverted so the *Pearson* covariance after quantile
-          mapping matches the real cohort (rank transplants inflate
-          Pearson coherence on heavy-tailed marginals). With the
-          discrete mutation head, the model owns the bits and the
+          garble), transplanted with exact eigen-whitening (ridge
+          whitening measurably leaks the denoiser's own within-pathway
+          coherence into the recolor), then a second-stage 62-dim
+          exact-tetrachoric transplant sharpens the mutation bits.
+          See ops/copula.py fit_joint_copula/joint_transplant. With
+          the discrete mutation head, the model owns the bits and the
           continuous block falls back to "copula_full" behavior.
         - "copula": latent-Gaussian copula fitted on the real cohort's
           binary mutation block (tetrachoric correlation) and

@@ -195,6 +195,25 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
             b24 = pltpu.bitcast(bits >> 8, jnp.int32)
             return b24.astype(jnp.float32) * (1.0 / (1 << 24))
 
+        def prng_uniform_wide():
+            # Full-width per-step transition noise: two 16-bit uniforms
+            # per 32-bit hardware draw — the PRNG is pure VPU work
+            # serialized against the matmuls, and 2^-16 resolution is
+            # ample for noise that only survives sampling through a
+            # 1000-step CLT wash (the mutation-bit comparisons reuse
+            # the same grid; a 1.5e-5 Bernoulli bias is far below the
+            # statistical-parity test floor).
+            half = (data_dim + 1) // 2
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((tile_b, half)), jnp.uint32
+            )
+            lo = pltpu.bitcast(bits & 0xFFFF, jnp.int32)
+            hi = pltpu.bitcast(bits >> 16, jnp.int32)
+            u = jnp.concatenate(
+                [lo.astype(jnp.float32), hi.astype(jnp.float32)], axis=1
+            ) * (1.0 / (1 << 16))
+            return u[:, :data_dim]
+
         def run_block(h_parts, refs_for_block, n_parts, features):
             # h_parts: list of f32 inputs (the decoder's concat operands)
             acc = None
@@ -289,7 +308,7 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
             # narrow mutation slice.
             u_m = None
             if noise_mode == "prng":
-                u = prng_uniform()
+                u = prng_uniform_wide()
                 z = (u - 0.5) * _UNIFORM_SCALE
                 if mut_dim:
                     u_m = u[:, :mut_pad]
@@ -572,11 +591,15 @@ class FusedSampler:
         rng: jax.Array,
         num_samples: Optional[int] = None,
         noise: Optional[jnp.ndarray] = None,
+        keep_bf16: bool = False,
     ) -> jnp.ndarray:
         """Drop-in equivalent of ConditionalDiffusion.sample for the
         supported config. `noise`: optional (T, B, D) per-step
         transition noise for parity tests (replaces the in-kernel
-        PRNG)."""
+        PRNG). `keep_bf16`: skip the f32 output upcast — the loop
+        carry is bf16, so the values are bf16-precision either way and
+        the device->host readback (the measured bottleneck for warm
+        10k-cohort generates on the tunneled backend) halves."""
         if num_samples is None:
             num_samples = conditions.shape[0]
         d = self.model.denoiser
@@ -610,7 +633,9 @@ class FusedSampler:
             args.append(noise.astype(jnp.float32))
 
         out = self._pallas_fn(b_padded, noise_mode)(*args)
-        return out[:num_samples].astype(jnp.float32)
+        return out[:num_samples].astype(
+            jnp.bfloat16 if keep_bf16 else jnp.float32
+        )
 
 
     # ------------------------------------------------------------------
@@ -621,6 +646,7 @@ class FusedSampler:
         rng: jax.Array,
         num_samples: Optional[int] = None,
         noise: Optional[jnp.ndarray] = None,
+        keep_bf16: bool = False,
     ) -> jnp.ndarray:
         """Data-parallel fused sampling: each device of the mesh's
         `data` axis runs the whole-loop kernel on its cohort shard
@@ -688,7 +714,9 @@ class FusedSampler:
             check_rep=False,
         )
         out = sharded(*args)
-        return out[:num_samples].astype(jnp.float32)
+        return out[:num_samples].astype(
+            jnp.bfloat16 if keep_bf16 else jnp.float32
+        )
 
 
 def maybe_fused_sampler(model, params, tile_b: int = 512,

@@ -22,8 +22,11 @@ import jax  # noqa: E402
 
 # The axon TPU plugin's sitecustomize force-appends its platform to
 # jax_platforms at interpreter start; override after import so tests run
-# on the virtual 8-device CPU mesh regardless.
-jax.config.update("jax_platforms", "cpu")
+# on the virtual 8-device CPU mesh regardless. OSDM_TPU_TESTS=1 keeps
+# the real platform so the TPU-gated tests (fused-sampler parity,
+# posterior-kernel) actually run on hardware instead of skipping.
+if not os.environ.get("OSDM_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: repeated test runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
