@@ -112,6 +112,9 @@ class ConditionalDiffusion:
     # conditions during training; generation draws it from a Gaussian
     # prior fitted on the training cohort's encoded latents.
     latent_factor_dim: int = 0
+    # Encoder input: "full" patient vector or the "mutations" block
+    # only (config.py DiffusionConfig.latent_encoder_input).
+    latent_encoder_input: str = "full"
     # Clamp predicted x0 during sampling (prevents the reverse chain
     # from exploding through the clipped-beta schedule tail).
     clip_denoised: bool = True
@@ -208,6 +211,7 @@ class ConditionalDiffusion:
             cfg_dropout_prob=mc.cfg_dropout_prob,
             parameterization=mc.diffusion.parameterization,
             latent_factor_dim=mc.diffusion.latent_factor_dim,
+            latent_encoder_input=mc.diffusion.latent_encoder_input,
             feature_loss_weights=feature_weights,
             clip_denoised=mc.diffusion.clip_denoised,
             denoised_clip_value=mc.diffusion.denoised_clip_value,
@@ -229,15 +233,24 @@ class ConditionalDiffusion:
         if self.latent_factor_dim > 0:
             return self.denoiser.init(
                 {"params": rng}, x, t, c,
+                enc_x=self._latent_encoder_view(x),
                 method=DiffusionDenoiser.init_all,
             )["params"]
         return self.denoiser.init({"params": rng}, x, t, conditions=c)["params"]
 
+    def _latent_encoder_view(self, x0: jnp.ndarray) -> jnp.ndarray:
+        if self.latent_encoder_input == "mutations" and self.mutation_dim:
+            return x0[:, : self.mutation_dim]
+        return x0
+
     def encode_latents(self, params, x0: jnp.ndarray) -> jnp.ndarray:
         """Encode clean patient vectors to latent factors (generation
-        fits its Gaussian prior on the real cohort through this)."""
+        fits its Gaussian prior on the real cohort through this).
+        ``x0`` is the full patient vector; the configured encoder view
+        (full / mutations-only) is applied here."""
         return self.denoiser.apply(
-            {"params": params}, x0, method=DiffusionDenoiser.encode_latent
+            {"params": params}, self._latent_encoder_view(x0),
+            method=DiffusionDenoiser.encode_latent,
         )
 
     # ------------------------------------------------------------------
@@ -319,7 +332,7 @@ class ConditionalDiffusion:
             # prior encodes in k dims. Appended before CFG dropout so
             # the unconditional score drops them with the clinicals.
             h = self.denoiser.apply(
-                {"params": params}, x0,
+                {"params": params}, self._latent_encoder_view(x0),
                 method=DiffusionDenoiser.encode_latent,
             )
             metrics_h = jnp.mean(h * h)

@@ -173,11 +173,13 @@ class DiffusionDenoiser(nn.Module):
         h = nn.silu(self.latent_encoder_fc1(x0.astype(self.dtype)))
         return self.latent_encoder_fc2(h).astype(jnp.float32)
 
-    def init_all(self, x, t, conditions):
+    def init_all(self, x, t, conditions, enc_x=None):
         """Initialization entry touching every submodule (flax creates
-        params lazily; plain __call__ would skip the latent encoder)."""
+        params lazily; plain __call__ would skip the latent encoder).
+        ``enc_x``: the encoder's input view when it differs from x
+        (mutations-only encoding)."""
         if self.latent_factor_dim > 0:
-            self.encode_latent(x)
+            self.encode_latent(x if enc_x is None else enc_x)
         return self(x, t, conditions=conditions)
 
     def __call__(

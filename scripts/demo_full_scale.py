@@ -67,6 +67,10 @@ def main():
         cfg.model.diffusion.latent_factor_dim = int(
             os.environ["DEMO_LATENT_K"]
         )
+    if "DEMO_LATENT_INPUT" in os.environ:  # full | mutations
+        cfg.model.diffusion.latent_encoder_input = os.environ[
+            "DEMO_LATENT_INPUT"
+        ]
     if os.environ.get("DEMO_FINETUNE"):  # sample-path fine-tune (STEP 4b)
         cfg.training.sample_path_finetune.enabled = True
         cfg.training.sample_path_finetune.steps = int(

@@ -158,3 +158,31 @@ def test_latent_factor_recovers_block_cooccurrence(rng):
     iu = np.triu_indices(m, k=1)
     cc = np.corrcoef(np.asarray(real_corr)[iu], np.asarray(synth_corr)[iu])[0, 1]
     assert cc > 0.5, f"raw co-occurrence correlation {cc:.3f}"
+
+
+def test_mutation_only_encoder(rng):
+    """latent_encoder_input='mutations': the latent carries mutation
+    structure specifically (the full-input variant measurably channels
+    expression variance instead — DEMO_LATENT_RAW)."""
+    cfg = _cfg(4)
+    cfg.model.diffusion.latent_encoder_input = "mutations"
+    dims = cfg.freeze_dims(6, 12, 3, ["a", "b", "c"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    # Encoder input width = mutation block, not the full vector.
+    assert params["latent_enc_fc1"]["kernel"].shape[0] == 6
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (8, dims.data_dim))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (8, dims.condition_dim))
+    loss, _ = model.loss(
+        params, x0, cond, jax.random.PRNGKey(3), deterministic=True
+    )
+    assert jnp.isfinite(loss)
+    h = model.encode_latents(params, x0)
+    assert h.shape == (8, 4)
+    # The latent must ignore non-mutation columns entirely.
+    x0_alt = x0.at[:, 6:].set(0.0)
+    np.testing.assert_allclose(
+        np.asarray(model.encode_latents(params, x0_alt)), np.asarray(h),
+        rtol=1e-5,
+    )
