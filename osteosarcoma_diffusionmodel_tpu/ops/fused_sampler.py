@@ -128,7 +128,7 @@ def _groupnorm(h, g, gt, scale, bias, group_size):
 
 
 def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
-                  mut_dim=0):
+                  mut_dim=0, interleave=False):
     """Build the kernel body. `layout` describes how the flat ref list
     maps onto layers: a list of ("block", n_in_parts, features) entries
     plus the group-matrix table. Static Python closure — unrolls to a
@@ -295,7 +295,7 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
             # continuous part only).
             return out + gain * xf
 
-        def body(s, x):
+        def step_half(s, x):
             out = denoise(x, s)
             x0 = jnp.clip(out, -clip_value, clip_value)
             xf = x.astype(jnp.float32)
@@ -356,7 +356,20 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
                 x_new = left
             return x_new.astype(jnp.bfloat16)
 
-        out_ref[:] = jax.lax.fori_loop(0, T, body, x_ref[:])
+        if interleave:
+            # Ping-pong half-tiles: the two halves' chains are data-
+            # independent within a step, so the compiler is free to
+            # fill one half's VPU tail (GroupNorm stats, posterior,
+            # PRNG) with the other half's matmuls instead of
+            # serializing MXU and VPU on one strict dependency chain.
+            def body(s, halves):
+                return step_half(s, halves[0]), step_half(s, halves[1])
+
+            xa, xb = jnp.split(x_ref[:], 2, axis=0)
+            ya, yb = jax.lax.fori_loop(0, T, body, (xa, xb))
+            out_ref[:] = jnp.concatenate([ya, yb], axis=0)
+        else:
+            out_ref[:] = jax.lax.fori_loop(0, T, step_half, x_ref[:])
 
     return kernel
 
@@ -371,12 +384,17 @@ class FusedSampler:
 
     def __init__(self, model, params, tile_b: int = 512,
                  interpret: bool = False,
-                 ddim_steps: Optional[int] = None):
+                 ddim_steps: Optional[int] = None,
+                 interleave: bool = False):
         """`ddim_steps`: when set, the kernel runs the deterministic
         (eta=0) DDIM update over that many strided timesteps instead of
         the full T-step ancestral loop — same VMEM-resident structure,
         no per-step noise at all (models/diffusion.py sample_ddim
-        algebra, x0 parameterization)."""
+        algebra, x0 parameterization).
+
+        `interleave`: run the loop over two independent half-tiles so
+        the compiler can overlap one half's VPU tail with the other's
+        matmuls (perf experiment; statistically identical output)."""
         if not supports_fused(model):
             raise ValueError(
                 "model configuration not supported by the fused sampler; "
@@ -386,6 +404,7 @@ class FusedSampler:
         self.params = params
         self.tile_b = tile_b
         self.interpret = interpret
+        self.interleave = interleave and tile_b % 16 == 0
         d = model.denoiser
         self.data_dim = d.data_dim
         self.hidden = list(d.hidden_dims)
@@ -507,6 +526,11 @@ class FusedSampler:
             self.layout, T, tile_b, D,
             self.model.denoised_clip_value, noise_mode,
             mut_dim=self.mut_dim,
+            # Buffer mode streams full-tile noise slabs; the
+            # half-tile split would mismatch them (parity tests
+            # use buffer mode and need the exact single-chain
+            # order anyway).
+            interleave=self.interleave and noise_mode != "buffer",
         )
 
         def full_spec(shape, space=pltpu.VMEM):
