@@ -186,16 +186,16 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
             col = jax.lax.broadcasted_iota(jnp.int32, (1, mut_pad), 1)
             mut_mask = (col < mut_dim).astype(jnp.float32)
 
-        def prng_uniform(width=data_dim):
+        def prng_uniform(width=data_dim, rows=tile_b):
             bits = pltpu.bitcast(
-                pltpu.prng_random_bits((tile_b, width)), jnp.uint32
+                pltpu.prng_random_bits((rows, width)), jnp.uint32
             )
             # uint32 -> f32 is unsupported in Mosaic; the top-24-bit
             # value fits int32 exactly.
             b24 = pltpu.bitcast(bits >> 8, jnp.int32)
             return b24.astype(jnp.float32) * (1.0 / (1 << 24))
 
-        def prng_uniform_wide():
+        def prng_uniform_wide(rows=tile_b):
             # Full-width per-step transition noise: two 16-bit uniforms
             # per 32-bit hardware draw — the PRNG is pure VPU work
             # serialized against the matmuls, and 2^-16 resolution is
@@ -205,7 +205,7 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
             # statistical-parity test floor).
             half = (data_dim + 1) // 2
             bits = pltpu.bitcast(
-                pltpu.prng_random_bits((tile_b, half)), jnp.uint32
+                pltpu.prng_random_bits((rows, half)), jnp.uint32
             )
             lo = pltpu.bitcast(bits & 0xFFFF, jnp.int32)
             hi = pltpu.bitcast(bits >> 16, jnp.int32)
@@ -240,7 +240,7 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
 
         n_enc = layout["n_encoder"]
 
-        def denoise(x_bf16, s):
+        def denoise(x_bf16, s, cp=None):
             # The denoiser sees 2b-1 on mutation columns (scan parity:
             # models/diffusion.py x_in); continuous columns pass through.
             xf = x_bf16.astype(jnp.float32)
@@ -263,7 +263,7 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
             t_row = jnp.dot(
                 onehot, tadd_ref[:], preferred_element_type=jnp.float32
             )
-            h = h + t_row + cproj
+            h = h + t_row + (cproj if cp is None else cp)
 
             skips = []
             bi = 0
@@ -295,8 +295,8 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
             # continuous part only).
             return out + gain * xf
 
-        def step_half(s, x):
-            out = denoise(x, s)
+        def step_half(s, x, cp=None):
+            out = denoise(x, s, cp)
             x0 = jnp.clip(out, -clip_value, clip_value)
             xf = x.astype(jnp.float32)
             c0 = coeff_ref[s, 0]
@@ -306,9 +306,10 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
             # mutation bit draws share one full-width draw ("prng"/
             # "buffer"); the deterministic DDIM path draws only the
             # narrow mutation slice.
+            rows = x.shape[0]
             u_m = None
             if noise_mode == "prng":
-                u = prng_uniform_wide()
+                u = prng_uniform_wide(rows)
                 z = (u - 0.5) * _UNIFORM_SCALE
                 if mut_dim:
                     u_m = u[:, :mut_pad]
@@ -317,7 +318,7 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
                 if mut_dim:
                     u_m = z[:, :mut_pad] * (1.0 / _UNIFORM_SCALE) + 0.5
             elif mut_dim:  # "none" (eta=0 DDIM) still draws bits
-                u_m = prng_uniform(mut_pad)
+                u_m = prng_uniform(mut_pad, rows)
 
             if noise_mode == "none":
                 # Deterministic (eta=0 DDIM) continuous update; the
@@ -362,8 +363,13 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
             # fill one half's VPU tail (GroupNorm stats, posterior,
             # PRNG) with the other half's matmuls instead of
             # serializing MXU and VPU on one strict dependency chain.
+            cpa, cpb = jnp.split(cproj, 2, axis=0)
+
             def body(s, halves):
-                return step_half(s, halves[0]), step_half(s, halves[1])
+                return (
+                    step_half(s, halves[0], cpa),
+                    step_half(s, halves[1], cpb),
+                )
 
             xa, xb = jnp.split(x_ref[:], 2, axis=0)
             ya, yb = jax.lax.fori_loop(0, T, body, (xa, xb))
