@@ -131,8 +131,12 @@ class SyntheticPatientGenerator:
         if ddim_steps not in self._fused_cache:
             from ..ops.fused_sampler import maybe_fused_sampler
 
+            quant = getattr(self.config.generation, "fused_quantize", "none")
             self._fused_cache[ddim_steps] = (
-                maybe_fused_sampler(self.model, params, ddim_steps=ddim_steps)
+                maybe_fused_sampler(
+                    self.model, params, ddim_steps=ddim_steps,
+                    quantize=None if quant in ("none", None) else quant,
+                )
                 or False
             )
             logger.info(

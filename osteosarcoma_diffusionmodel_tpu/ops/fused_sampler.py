@@ -78,31 +78,82 @@ def _sinusoid(t_norm: np.ndarray, dim: int) -> np.ndarray:
     )
 
 
-def _group_mats(features: int) -> Tuple[np.ndarray, np.ndarray]:
-    """One-hot group-membership matrix G (F, 8) and its transpose."""
+def _group_mats(features: int, gn_mode: str = "f32") -> Tuple[Any, Any]:
+    """GroupNorm stat tables for one feature width.
+
+    "f32": one-hot membership G (F, 8) and its transpose, both f32 —
+    the round-2 layout (4 f32 dots per GN).
+    "bf16": G/group_size and G^T in bf16 (4 bf16 dots; measured +4.4%
+    whole-kernel — the f32 stats dots take multiple MXU passes).
+    "merged"/"merged3": G/group_size bf16 forward table and a
+    blockdiag(G^T, G^T) (16, 2F) bf16 back table so the two
+    expansions ride ONE lane-efficient dot; "merged" additionally
+    row-stacks [h; h*h] so the forward stats are one dot too. The
+    per-GN dot count (the cost is per-invocation latency, not FLOPs)
+    drops 4 -> 3 -> 2."""
     g = np.zeros((features, NUM_GROUPS), np.float32)
     size = features // NUM_GROUPS
     for k in range(NUM_GROUPS):
         g[k * size : (k + 1) * size, k] = 1.0
-    return g, g.T.copy()
+    if gn_mode == "f32":
+        return jnp.asarray(g), jnp.asarray(g.T.copy())
+    gfwd = jnp.asarray(g / size, jnp.bfloat16)
+    if gn_mode == "bf16":
+        return gfwd, jnp.asarray(g.T.copy(), jnp.bfloat16)
+    bd2 = np.kron(np.eye(2, dtype=np.float32), g.T)  # (16, 2F)
+    return gfwd, jnp.asarray(bd2, jnp.bfloat16)
 
 
-def _block_weights(p, in_splits: Sequence[int]) -> List[Any]:
+def _quant_flags(quant) -> Tuple[bool, bool, bool]:
+    """(input_proj, blocks, output_proj) int8 flags for a quantize mode.
+
+    Measured per-matmul on v5e (tile 512, production dims): the int8
+    MXU path pays ~1.7-2x on the N-wide output projection (K=256,
+    N=5142; quantizing the narrow h costs almost nothing), is a WASH or
+    a loss on the K-wide input projection (the full-width dynamic
+    activation quantize costs more VPU time than the dot saves), and is
+    marginal on the small block fcs — hence "out" is the production
+    mode; "io"/"all" are kept so the negative is reproducible."""
+    if quant is None:
+        return (False, False, False)
+    return {
+        "out": (False, False, True),
+        "io": (True, False, True),
+        "all": (True, True, True),
+    }[quant]
+
+
+def _pack_mat(w: np.ndarray, quant: bool) -> List[Any]:
+    """One matmul weight as kernel inputs: bf16 (one entry) or
+    symmetric per-output-column int8 + f32 scale row (two entries).
+    The v5e MXU runs s8xs8->s32 at 2x the bf16 rate (measured 138 vs
+    78 TOPS at the production shapes), so quantized layers halve the
+    matmul time of the whole-loop sampler."""
+    if not quant:
+        return [jnp.asarray(w, jnp.bfloat16)]
+    w = np.asarray(w, np.float32)
+    sw = np.maximum(np.abs(w).max(axis=0, keepdims=True), 1e-8) / 127.0
+    qw = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+    return [jnp.asarray(qw), jnp.asarray(sw, jnp.float32)]
+
+
+def _block_weights(p, in_splits: Sequence[int], quant: bool) -> List[Any]:
     """Flatten one DenoiserBlock's params, splitting fc1's kernel rows
     at `in_splits` boundaries (so the decoder's concat becomes a sum of
-    matmuls instead of an in-kernel concatenate)."""
+    matmuls instead of an in-kernel concatenate). Layout per block:
+    fc1 parts, fc2 kernel (1 or 2 entries each), then the six f32
+    bias/norm vectors."""
     fc1 = np.asarray(p["fc1"]["kernel"], np.float32)
-    parts = []
+    parts: List[Any] = []
     start = 0
     for s in in_splits:
-        parts.append(jnp.asarray(fc1[start : start + s], jnp.bfloat16))
+        parts += _pack_mat(fc1[start : start + s], quant)
         start += s
     assert start == fc1.shape[0], (start, fc1.shape)
-    return parts + [
+    return parts + _pack_mat(p["fc2"]["kernel"], quant) + [
         jnp.asarray(p["fc1"]["bias"], jnp.float32).reshape(1, -1),
         jnp.asarray(p["norm1"]["scale"], jnp.float32).reshape(1, -1),
         jnp.asarray(p["norm1"]["bias"], jnp.float32).reshape(1, -1),
-        jnp.asarray(p["fc2"]["kernel"], jnp.bfloat16),
         jnp.asarray(p["fc2"]["bias"], jnp.float32).reshape(1, -1),
         jnp.asarray(p["norm2"]["scale"], jnp.float32).reshape(1, -1),
         jnp.asarray(p["norm2"]["bias"], jnp.float32).reshape(1, -1),
@@ -112,23 +163,57 @@ def _block_weights(p, in_splits: Sequence[int]) -> List[Any]:
 # ----------------------------------------------------------------------
 # Kernel
 # ----------------------------------------------------------------------
-def _groupnorm(h, g, gt, scale, bias, group_size):
-    """GroupNorm(8) on f32 h via group-membership matmuls."""
-    sums = (
-        jnp.dot(h, g, preferred_element_type=jnp.float32) / group_size
-    )  # (tile, 8) per-group mean
-    sqs = (
-        jnp.dot(h * h, g, preferred_element_type=jnp.float32) / group_size
-    )
-    var = sqs - sums * sums
-    mean_full = jnp.dot(sums, gt, preferred_element_type=jnp.float32)
-    var_full = jnp.dot(var, gt, preferred_element_type=jnp.float32)
-    inv = jax.lax.rsqrt(var_full + GN_EPS)
-    return (h - mean_full) * inv * scale + bias
+def _groupnorm(h, g, gt, scale, bias, group_size, gn_mode="f32"):
+    """GroupNorm(8) on f32 h via group-membership matmuls.
+
+    The stats cost is dominated by per-dot invocation latency on the
+    sequential critical path (measured 30% of the whole fused sampler
+    in "f32" mode), so the faster modes cut the DOT COUNT:
+    "f32" 4 f32 dots -> "bf16" 4 bf16 dots -> "merged3" 3 ->
+    "merged" 2 (see _group_mats for the table layouts)."""
+    if gn_mode == "f32":
+        sums = (
+            jnp.dot(h, g, preferred_element_type=jnp.float32) / group_size
+        )  # (tile, 8) per-group mean
+        sqs = (
+            jnp.dot(h * h, g, preferred_element_type=jnp.float32)
+            / group_size
+        )
+        var = sqs - sums * sums
+        mean_full = jnp.dot(sums, gt, preferred_element_type=jnp.float32)
+        var_full = jnp.dot(var, gt, preferred_element_type=jnp.float32)
+        inv = jax.lax.rsqrt(var_full + GN_EPS)
+        return (h - mean_full) * inv * scale + bias
+
+    hb = h.astype(jnp.bfloat16)
+    if gn_mode == "merged":
+        tile = h.shape[0]
+        x = jnp.concatenate([hb, hb * hb], axis=0)
+        s = jnp.dot(x, g, preferred_element_type=jnp.float32)
+        mean, msq = s[:tile], s[tile:]
+    else:  # "bf16" / "merged3": two narrow forward dots
+        mean = jnp.dot(hb, g, preferred_element_type=jnp.float32)
+        msq = jnp.dot(hb * hb, g, preferred_element_type=jnp.float32)
+    var = msq - mean * mean
+    inv = jax.lax.rsqrt(var + GN_EPS)
+    mi = (mean * inv).astype(jnp.bfloat16)
+    ib = inv.astype(jnp.bfloat16)
+    if gn_mode == "bf16":
+        mf = jnp.dot(mi, gt, preferred_element_type=jnp.float32)
+        invf = jnp.dot(ib, gt, preferred_element_type=jnp.float32)
+    else:  # merged back-projection: one (tile, 16) @ (16, 2F) dot
+        F = h.shape[1]
+        y = jnp.dot(
+            jnp.concatenate([mi, ib], axis=1), gt,
+            preferred_element_type=jnp.float32,
+        )
+        mf, invf = y[:, :F], y[:, F:]
+    return (h * invf - mf) * scale + bias
 
 
 def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
-                  mut_dim=0, interleave=False):
+                  mut_dim=0, interleave=False, quant=None,
+                  gn_mode="bf16"):
     """Build the kernel body. `layout` describes how the flat ref list
     maps onto layers: a list of ("block", n_in_parts, features) entries
     plus the group-matrix table. Static Python closure — unrolls to a
@@ -153,17 +238,35 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
         mut_dim > 0 and noise_mode != "buffer"
     )
 
+    # Which matmuls carry int8 weights (must agree with the host-side
+    # packing in FusedSampler.__init__).
+    q_in, q_blk, q_out = _quant_flags(quant)
+
     def kernel(*refs):
         seed_ref, coeff_ref, x_ref, cproj_ref, tadd_ref = refs[:5]
         idx = 5
-        w_in_ref = refs[idx]; idx += 1
-        block_refs = []
+
+        def take_mat(quantized):
+            nonlocal idx
+            if quantized:
+                entry = (refs[idx], refs[idx + 1])
+                idx += 2
+            else:
+                entry = refs[idx]
+                idx += 1
+            return entry
+
+        w_in = take_mat(q_in)
+        block_entries = []
         for kind, n_parts, _feat in layout["blocks"]:
-            n = n_parts + 7  # parts + fc1_b, s1, b1, fc2_w, fc2_b, s2, b2
-            block_refs.append(refs[idx : idx + n])
-            idx += n
-        w_out_ref, b_out_ref = refs[idx], refs[idx + 1]
-        idx += 2
+            parts = [take_mat(q_blk) for _ in range(n_parts)]
+            fc2 = take_mat(q_blk)
+            vecs = refs[idx : idx + 6]
+            idx += 6
+            block_entries.append((parts, fc2, vecs))
+        w_out = take_mat(q_out)
+        b_out_ref = refs[idx]
+        idx += 1
         gmat_refs = refs[idx : idx + 2 * len(layout["gn_features"])]
         idx += 2 * len(layout["gn_features"])
         noise_ref = refs[idx] if noise_mode == "buffer" else None
@@ -214,28 +317,47 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
             ) * (1.0 / (1 << 16))
             return u[:, :data_dim]
 
-        def run_block(h_parts, refs_for_block, n_parts, features):
-            # h_parts: list of f32 inputs (the decoder's concat operands)
-            acc = None
-            for part, w_ref in zip(h_parts, refs_for_block[:n_parts]):
-                term = jnp.dot(
-                    part.astype(jnp.bfloat16),
-                    w_ref[:],
-                    preferred_element_type=jnp.float32,
+        def mm(xf, entry):
+            """f32 activations @ one packed weight: bf16 MXU dot, or —
+            for a (int8, scale) pair — a per-row dynamically-scaled
+            s8xs8->s32 MXU dot (2x the bf16 rate) dequantized in f32.
+            Per-row activation scales keep full 7-bit resolution as the
+            state contracts toward the data manifold over the reverse
+            loop (a static scale would waste most of the range there)."""
+            if isinstance(entry, tuple):
+                wq, sw = entry
+                amax = jnp.maximum(
+                    jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-6
                 )
+                q = jnp.round(xf * (127.0 / amax)).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    q, wq[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                return acc.astype(jnp.float32) * (
+                    amax * (1.0 / 127.0)
+                ) * sw[:]
+            return jnp.dot(
+                xf.astype(jnp.bfloat16), entry[:],
+                preferred_element_type=jnp.float32,
+            )
+
+        def run_block(h_parts, block_entry, features):
+            # h_parts: list of f32 inputs (the decoder's concat operands)
+            part_entries, fc2_entry, vecs = block_entry
+            acc = None
+            for part, entry in zip(h_parts, part_entries):
+                term = mm(part, entry)
                 acc = term if acc is None else acc + term
-            (fc1_b, s1, b1, fc2_w, fc2_b, s2, b2) = refs_for_block[n_parts:]
+            (fc1_b, s1, b1, fc2_b, s2, b2) = vecs
             g, gt = gn_table[features]
             h = acc + fc1_b[:]
             h = _groupnorm(h, g[:], gt[:], s1[:], b1[:],
-                           features // NUM_GROUPS)
+                           features // NUM_GROUPS, gn_mode)
             h = jax.nn.silu(h)
-            h = jnp.dot(
-                h.astype(jnp.bfloat16), fc2_w[:],
-                preferred_element_type=jnp.float32,
-            ) + fc2_b[:]
+            h = mm(h, fc2_entry) + fc2_b[:]
             h = _groupnorm(h, g[:], gt[:], s2[:], b2[:],
-                           features // NUM_GROUPS)
+                           features // NUM_GROUPS, gn_mode)
             return jax.nn.silu(h)
 
         n_enc = layout["n_encoder"]
@@ -250,10 +372,7 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
                     xf = jnp.concatenate([left, xf[:, mut_pad:]], axis=1)
                 else:
                     xf = left
-            h = jnp.dot(
-                xf.astype(jnp.bfloat16), w_in_ref[:],
-                preferred_element_type=jnp.float32,
-            )
+            h = mm(xf, w_in)
             # Dynamic single-row VMEM loads need 8-aligned indices; a
             # one-hot matmul row-select is unconstrained and cheap
             # ((1,T)@(T,H0) per step).
@@ -269,12 +388,12 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
             bi = 0
             for k in range(n_enc):
                 kind, n_parts, feat = layout["blocks"][bi]
-                h = run_block([h], block_refs[bi], n_parts, feat)
+                h = run_block([h], block_entries[bi], feat)
                 skips.append(h)
                 bi += 1
             # Bottleneck.
             kind, n_parts, feat = layout["blocks"][bi]
-            h = run_block([h], block_refs[bi], n_parts, feat)
+            h = run_block([h], block_entries[bi], feat)
             bi += 1
             # Decoder: fc1 split into [h | skip] row-parts.
             while bi < len(layout["blocks"]):
@@ -282,13 +401,10 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
                     break
                 skip = skips.pop()
                 kind, n_parts, feat = layout["blocks"][bi]
-                h = run_block([h, skip], block_refs[bi], n_parts, feat)
+                h = run_block([h, skip], block_entries[bi], feat)
                 bi += 1
 
-            out = jnp.dot(
-                h.astype(jnp.bfloat16), w_out_ref[:],
-                preferred_element_type=jnp.float32,
-            ) + b_out_ref[:]
+            out = mm(h, w_out) + b_out_ref[:]
             gain = coeff_ref[s, 3]
             # Raw prediction: x0 for continuous columns, x0-bit LOGITS
             # for mutation columns (clip applied by the caller to the
@@ -391,7 +507,9 @@ class FusedSampler:
     def __init__(self, model, params, tile_b: int = 512,
                  interpret: bool = False,
                  ddim_steps: Optional[int] = None,
-                 interleave: bool = False):
+                 interleave: bool = False,
+                 quantize: Optional[str] = None,
+                 gn_mode: str = "bf16"):
         """`ddim_steps`: when set, the kernel runs the deterministic
         (eta=0) DDIM update over that many strided timesteps instead of
         the full T-step ancestral loop — same VMEM-resident structure,
@@ -400,7 +518,28 @@ class FusedSampler:
 
         `interleave`: run the loop over two independent half-tiles so
         the compiler can overlap one half's VPU tail with the other's
-        matmuls (perf experiment; statistically identical output)."""
+        matmuls (perf experiment; statistically identical output).
+
+        `quantize`: int8 MXU mode — None (bf16 everywhere, default),
+        "out" (the N-wide output projection), "io" (both data_dim-wide
+        projections), "all" (every fc layer). Per-channel int8 weights
+        + per-row dynamically-scaled int8 activations; the s8xs8->s32
+        MXU path runs ~1.7-2x the bf16 rate in isolation, but measured
+        END TO END on the DDPM kernel every mode is a wash or a small
+        loss (12.1-12.5k vs 12.5k patients/sec): the quantize/dequant
+        VPU work sits on the same serial critical path the faster dot
+        shortens. The deterministic DDIM-1000 variant gains ~2% with
+        "out". Kept selectable so the negative is reproducible;
+        output deviation vs bf16 is ~1-2% RMS (elemwise corr 0.999).
+
+        `gn_mode`: GroupNorm stats implementation — "bf16" (default;
+        4 bf16 stats dots, measured +4.7% whole-kernel vs "f32"),
+        "f32" (round-2 layout, exact flax parity), "merged3"/"merged"
+        (fewer, merged dots — measured no better than "bf16"). GN
+        stats are 30% of kernel time (measured by ablation); the cost
+        is critical-path latency, so lane-packing the dots doesn't
+        help and a pltpu.repeat broadcast is 1.7x SLOWER end to end
+        (8-lane -> full-width relayout)."""
         if not supports_fused(model):
             raise ValueError(
                 "model configuration not supported by the fused sampler; "
@@ -411,6 +550,14 @@ class FusedSampler:
         self.tile_b = tile_b
         self.interpret = interpret
         self.interleave = interleave and tile_b % 16 == 0
+        if quantize not in (None, "out", "io", "all"):
+            raise ValueError(
+                f"quantize must be None/'out'/'io'/'all', got {quantize!r}"
+            )
+        self.quantize = quantize
+        if gn_mode not in ("f32", "bf16", "merged3", "merged"):
+            raise ValueError(f"unknown gn_mode {gn_mode!r}")
+        self.gn_mode = gn_mode
         d = model.denoiser
         self.data_dim = d.data_dim
         self.hidden = list(d.hidden_dims)
@@ -486,18 +633,18 @@ class FusedSampler:
 
         # --- weights, flattened in kernel order -----------------------
         hidden = self.hidden
-        weights: List[Any] = [
-            jnp.asarray(p["input_proj"]["kernel"], jnp.bfloat16)
-        ]
-        layout = {"n_encoder": len(hidden) - 1, "blocks": []}
+        q_in, q_blk, q_out = _quant_flags(quantize)
+        weights: List[Any] = _pack_mat(p["input_proj"]["kernel"], q_in)
+        layout = {"n_encoder": len(hidden) - 1, "blocks": [],
+                  "quant": quantize}
         enc_in = hidden[0]
         enc_feats = []
         for i, feat in enumerate(hidden[1:]):
-            weights += _block_weights(p[f"enc_{i}"], [enc_in])
+            weights += _block_weights(p[f"enc_{i}"], [enc_in], q_blk)
             layout["blocks"].append(("enc", 1, feat))
             enc_feats.append(feat)
             enc_in = feat
-        weights += _block_weights(p["bottleneck"], [enc_in])
+        weights += _block_weights(p["bottleneck"], [enc_in], q_blk)
         layout["blocks"].append(("bottleneck", 1, hidden[-1]))
         dec_in = hidden[-1]
         for j, i in enumerate(range(len(hidden) - 2, -1, -1)):
@@ -505,18 +652,18 @@ class FusedSampler:
                 break
             skip_feat = enc_feats.pop()
             feat = hidden[i]
-            weights += _block_weights(p[f"dec_{j}"], [dec_in, skip_feat])
+            weights += _block_weights(p[f"dec_{j}"], [dec_in, skip_feat],
+                                      q_blk)
             layout["blocks"].append(("dec", 2, feat))
             dec_in = feat
-        weights += [
-            jnp.asarray(p["output_proj"]["kernel"], jnp.bfloat16),
+        weights += _pack_mat(p["output_proj"]["kernel"], q_out) + [
             jnp.asarray(p["output_proj"]["bias"], jnp.float32).reshape(1, -1),
         ]
         layout["gn_features"] = sorted({f for _, _, f in layout["blocks"]})
         gmats: List[Any] = []
         for feat in layout["gn_features"]:
-            g, gt = _group_mats(feat)
-            gmats += [jnp.asarray(g), jnp.asarray(gt)]
+            g, gt = _group_mats(feat, self.gn_mode)
+            gmats += [g, gt]
         self.weights = weights
         self.gmats = gmats
         self.layout = layout
@@ -537,6 +684,8 @@ class FusedSampler:
             # use buffer mode and need the exact single-chain
             # order anyway).
             interleave=self.interleave and noise_mode != "buffer",
+            quant=self.quantize,
+            gn_mode=self.gn_mode,
         )
 
         def full_spec(shape, space=pltpu.VMEM):
@@ -750,19 +899,22 @@ class FusedSampler:
 
 
 def maybe_fused_sampler(model, params, tile_b: int = 512,
-                        ddim_steps: Optional[int] = None):
+                        ddim_steps: Optional[int] = None,
+                        quantize: Optional[str] = None):
     """FusedSampler when the config AND backend support it, else None.
 
     The compiled kernel is Mosaic/TPU-only; on CPU (tests, virtual
     meshes) callers fall back to the scan sampler (interpret-mode use
     constructs FusedSampler directly). `ddim_steps` builds the
-    deterministic strided-DDIM variant instead of the full DDPM loop.
+    deterministic strided-DDIM variant instead of the full DDPM loop;
+    `quantize` ("io"/"all") selects the int8 MXU kernel variants.
     """
     if jax.devices()[0].platform not in ("tpu", "axon"):
         return None
     if not supports_fused(model):
         return None
-    sampler = FusedSampler(model, params, tile_b=tile_b, ddim_steps=ddim_steps)
+    sampler = FusedSampler(model, params, tile_b=tile_b, ddim_steps=ddim_steps,
+                           quantize=quantize)
     # Fall back cleanly when the working set can't fit VMEM (e.g. a
     # much wider denoiser than the flagship config) instead of failing
     # at compile time.

@@ -1,0 +1,113 @@
+"""Int8-quantized and bf16-GroupNorm variants of the fused Pallas
+sampler (ops/fused_sampler.py `quantize` / `gn_mode`).
+
+The quantized kernels are statistical equivalents, not bit-exact ones:
+per-channel int8 weights carry ~0.4% error and the bf16 GN stats ~0.4%,
+so parity against the step-by-step reference loop uses the same
+injected-noise protocol as test_fused_sampler.py with tolerances that
+cover the measured deviation (whole-chain elementwise correlation vs
+bf16 is 0.999 on TPU at production dims).
+
+Reference counterpart: the fp32 torch loop at reference
+models/diffusion.py:446-447 (no quantized inference path exists there).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osteosarcoma_diffusionmodel_tpu.ops.fused_sampler import (
+    FusedSampler,
+    _pack_mat,
+    _quant_flags,
+)
+
+from test_fused_sampler import TILE_B, make_model, reference_loop
+
+
+def test_quant_flags_table():
+    assert _quant_flags(None) == (False, False, False)
+    assert _quant_flags("out") == (False, False, True)
+    assert _quant_flags("io") == (True, False, True)
+    assert _quant_flags("all") == (True, True, True)
+
+
+def test_pack_mat_roundtrip():
+    w = np.random.default_rng(0).normal(size=(64, 32)).astype(np.float32)
+    (bf,) = _pack_mat(w, False)
+    assert bf.dtype == jnp.bfloat16
+    qw, sw = _pack_mat(w, True)
+    assert qw.dtype == jnp.int8 and sw.dtype == jnp.float32
+    recon = np.asarray(qw, np.float32) * np.asarray(sw)
+    # Symmetric per-column quantization: max error half a step.
+    step = np.asarray(sw)[0]
+    assert np.all(np.abs(recon - w) <= 0.5 * step + 1e-7)
+    # Column maxima hit the full +-127 range.
+    assert np.abs(np.asarray(qw)).max(axis=0).min() >= 126
+
+
+def test_bad_quantize_mode_rejected():
+    model, params, _ = make_model()
+    with pytest.raises(ValueError):
+        FusedSampler(model, params, tile_b=TILE_B, quantize="weights")
+    with pytest.raises(ValueError):
+        FusedSampler(model, params, tile_b=TILE_B, gn_mode="fp8")
+
+
+@pytest.mark.parametrize("gn_mode", ["f32", "bf16", "merged3", "merged"])
+def test_gn_modes_match_reference_loop(gn_mode):
+    model, params, dims = make_model()
+    B, T, D = 2 * TILE_B, model.schedule.num_steps, dims.data_dim
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, dims.condition_dim))
+    rng = jax.random.PRNGKey(2)
+    noise = jax.random.normal(jax.random.PRNGKey(3), (T, B, D), jnp.float32)
+
+    sampler = FusedSampler(model, params, tile_b=TILE_B, interpret=True,
+                           gn_mode=gn_mode)
+    fused = sampler.sample(cond, rng, noise=noise)
+    ref = reference_loop(model, params, cond, rng, noise)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=0.15, rtol=0.05
+    )
+    assert float(jnp.std(ref)) > 0.05
+
+
+@pytest.mark.parametrize("quantize", ["out", "io", "all"])
+def test_quantized_tracks_reference_loop(quantize):
+    model, params, dims = make_model()
+    B, T, D = 2 * TILE_B, model.schedule.num_steps, dims.data_dim
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, dims.condition_dim))
+    rng = jax.random.PRNGKey(2)
+    noise = jax.random.normal(jax.random.PRNGKey(3), (T, B, D), jnp.float32)
+
+    sampler = FusedSampler(model, params, tile_b=TILE_B, interpret=True,
+                           quantize=quantize)
+    fused = np.asarray(sampler.sample(cond, rng, noise=noise))
+    ref = np.asarray(reference_loop(model, params, cond, rng, noise))
+
+    # Same injected noise -> same trajectory up to quantization error.
+    corr = np.corrcoef(fused.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.99, corr
+    rms = float(np.sqrt(((fused - ref) ** 2).mean()))
+    assert rms < 0.08 * float(ref.std()), (rms, ref.std())
+    # Cohort statistics agree per column.
+    np.testing.assert_allclose(fused.mean(0), ref.mean(0), atol=0.08)
+    np.testing.assert_allclose(fused.std(0), ref.std(0), atol=0.08)
+
+
+def test_quantized_discrete_head_bits_stay_binary():
+    model, params, dims = make_model()
+    import dataclasses
+
+    model = dataclasses.replace(model, discrete_head=True,
+                                mutation_dim=dims.mutation_dim)
+    B, T, D = TILE_B, model.schedule.num_steps, dims.data_dim
+    cond = jax.random.normal(jax.random.PRNGKey(4), (B, dims.condition_dim))
+    sampler = FusedSampler(model, params, tile_b=TILE_B, interpret=True,
+                           quantize="out")
+    # Interpret mode has no on-chip PRNG; inject the noise buffer.
+    noise = jax.random.normal(jax.random.PRNGKey(6), (T, B, D), jnp.float32)
+    out = np.asarray(sampler.sample(cond, jax.random.PRNGKey(5), noise=noise))
+    bits = out[:, : dims.mutation_dim]
+    assert set(np.unique(bits)).issubset({0.0, 1.0})
