@@ -100,6 +100,28 @@ class DiffusionConfig:
     # ~0; the mutation-only input targets the structure the copula
     # otherwise has to own.
     latent_encoder_input: str = "full"  # full | mutations
+    # Low-rank correlated residual sigma (the round-2 VERDICT's other
+    # shortlisted model-owned joint-structure candidate): k > 0 learns
+    # Sigma_x0(t) = s(t)^2 (diag(d) + U U^T) over the model's own
+    # x0-prediction residuals by Woodbury Gaussian NLL (stop-gradient
+    # mean). Every reverse step then marginalizes the x0 uncertainty
+    # into the posterior: x_{t-1} gains coef_x0 * s(t) *
+    # (sqrt(d) * eps + U eps_k). The joint is carried through the
+    # NOISE channel by D*k + D + T parameters — per-sample full-vector
+    # residual gradients instead of the pair-count signal the D3PM /
+    # finetune / latent-factor experiments measured as unidentifiable
+    # at n <= 400. Mutually exclusive with learn_sigma.
+    low_rank_sigma_dim: int = 0
+    low_rank_sigma_weight: float = 1.0
+    # Which features carry factor loadings: "full" (whole vector) or
+    # "mutations" (binary block only; the diagonal still spans every
+    # feature). Measured at n=400: the full-vector loadings chase the
+    # dominant expression variance — synthetic coherence 0.96 vs real
+    # 0.38 while mutation co-occurrence stays ~0 (DEMO_LOWRANK_RAW) —
+    # the same failure mode as full-input latent-factor conditioning;
+    # "mutations" points the whole k-factor budget at the block the
+    # copula otherwise has to own.
+    low_rank_sigma_scope: str = "full"  # full | mutations
     # Clamp the predicted x0 during sampling (standard DDPM
     # clip_denoised); disable for strict reference parity.
     clip_denoised: bool = True

@@ -103,6 +103,13 @@ class ConditionalDiffusion:
     # dispersion matches the data.
     learn_sigma: bool = False
     sigma_loss_weight: float = 1.0
+    # Low-rank correlated residual sigma: Sigma_x0(t) = s(t)^2
+    # (diag(d) + U U^T) fitted on x0 residuals by Woodbury NLL
+    # (stop-gradient mean); sampling marginalizes the x0 uncertainty
+    # into every reverse step's posterior (see sample()). Mutually
+    # exclusive with learn_sigma. config.py DiffusionConfig.
+    low_rank_sigma_dim: int = 0
+    low_rank_sigma_weight: float = 1.0
     # Optional (D,) per-feature loss weights (sum-preserving); None =
     # unweighted mean, matching the reference. Built from the block
     # dims by from_config when block_loss_weighting == "balanced".
@@ -160,6 +167,11 @@ class ConditionalDiffusion:
                 f"Unknown diffusion.parameterization "
                 f"{mc.diffusion.parameterization!r}; expected x0|epsilon|v"
             )
+        if mc.diffusion.low_rank_sigma_dim > 0 and mc.diffusion.learn_sigma:
+            raise ValueError(
+                "low_rank_sigma_dim and learn_sigma are mutually "
+                "exclusive residual-sigma channels"
+            )
         denoiser = DiffusionDenoiser(
             data_dim=dims.data_dim,
             time_dim=mc.latent_dim,
@@ -170,6 +182,13 @@ class ConditionalDiffusion:
             input_skip=mc.denoiser_input_skip,
             learn_sigma=mc.diffusion.learn_sigma,
             latent_factor_dim=mc.diffusion.latent_factor_dim,
+            low_rank_sigma_dim=mc.diffusion.low_rank_sigma_dim,
+            low_rank_sigma_steps=mc.diffusion.num_steps,
+            low_rank_sigma_rows=(
+                dims.mutation_dim
+                if mc.diffusion.low_rank_sigma_scope == "mutations"
+                else 0
+            ),
         )
         schedule = DiffusionSchedule.create(
             mc.diffusion.beta_schedule, mc.diffusion.num_steps
@@ -205,6 +224,8 @@ class ConditionalDiffusion:
             cooccurrence_weight=(
                 mc.constraints.cooccurrence_weight if use_constraints else 0.0
             ),
+            low_rank_sigma_dim=mc.diffusion.low_rank_sigma_dim,
+            low_rank_sigma_weight=mc.diffusion.low_rank_sigma_weight,
             sampler_rng_impl=config.generation.rng_impl,
             sample_dtype=config.generation.sample_dtype,
             noise_type=config.generation.noise_type,
@@ -252,6 +273,23 @@ class ConditionalDiffusion:
             {"params": params}, self._latent_encoder_view(x0),
             method=DiffusionDenoiser.encode_latent,
         )
+
+    def _lowrank_params(self, params):
+        """(U, log_diag, log_s) of the low-rank residual covariance.
+        U is zero-padded to the full feature width when the loadings
+        are scoped to the mutation block, so the NLL/sampling algebra
+        is scope-agnostic (zero rows get zero gradients and zero
+        correlated noise)."""
+        U, logdiag, logs = self.denoiser.apply(
+            {"params": params}, method=DiffusionDenoiser.lowrank_sigma
+        )
+        D = self.denoiser.data_dim
+        if U.shape[0] < D:
+            U = jnp.concatenate(
+                [U, jnp.zeros((D - U.shape[0], U.shape[1]), U.dtype)],
+                axis=0,
+            )
+        return U, logdiag, logs
 
     # ------------------------------------------------------------------
     # Parameterization helpers
@@ -385,7 +423,11 @@ class ConditionalDiffusion:
 
         x0_pred = None
         cont_x0_pred = None
-        if self.constraint_spec is not None or logvar is not None:
+        if (
+            self.constraint_spec is not None
+            or logvar is not None
+            or self.low_rank_sigma_dim > 0
+        ):
             cont_x0_pred = self._predict_x0(cont_pred, cont_t, sqrt_acp, sqrt_om)
             x0_pred = (
                 jnp.concatenate([jax.nn.sigmoid(mut_logits), cont_x0_pred], axis=1)
@@ -403,6 +445,41 @@ class ConditionalDiffusion:
             nll = 0.5 * jnp.mean(logvar_c + resid**2 * jnp.exp(-logvar_c))
             metrics["sigma_nll"] = nll
             total = total + self.sigma_loss_weight * nll
+
+        if self.low_rank_sigma_dim > 0:
+            # Woodbury Gaussian NLL of the x0 residual under
+            # Sigma_t = s(t)^2 (diag(d) + U U^T). The mean predictor is
+            # stop-gradiented (as with learn_sigma): only the
+            # covariance parameters (U, d, s) receive gradients, so the
+            # MSE-trained mean is untouched and the experiment isolates
+            # the noise channel.
+            U, logdiag, logs = self._lowrank_params(params)
+            k = self.low_rank_sigma_dim
+            Uc = U[M:] if M else U
+            d = jnp.exp(logdiag[M:] if M else logdiag)
+            resid = cont0 - jax.lax.stop_gradient(cont_x0_pred)
+            s = jnp.exp(logs[t])[:, None]  # (B, 1) per-sample t scale
+            r = resid / s
+            w = r / d
+            p = w @ Uc  # (B, k)
+            cap = jnp.eye(k) + (Uc / d[:, None]).T @ Uc  # capacitance
+            chol = jnp.linalg.cholesky(cap)
+            sol = jax.scipy.linalg.cho_solve((chol, True), p.T).T
+            quad = jnp.sum(r * w, axis=1) - jnp.sum(p * sol, axis=1)
+            Dc = r.shape[1]
+            logdet = (
+                jnp.sum(jnp.log(d))
+                + 2.0 * jnp.sum(jnp.log(jnp.diag(chol)))
+                + 2.0 * Dc * logs[t]
+            )
+            # Logged per-feature for readability, but the loss term
+            # enters at the natural joint-NLL scale: dividing by Dc
+            # dilutes the covariance params' only gradient source by
+            # 5000x at production dims, which (measured, round 3) left
+            # U at its init against AdamW's weight decay.
+            nll = 0.5 * jnp.mean(logdet + quad)
+            metrics["lowrank_sigma_nll"] = nll / Dc
+            total = total + self.low_rank_sigma_weight * nll
 
         if self.constraint_spec is not None:
             terms = constraint_losses(x0_pred, self.constraint_spec)
@@ -540,6 +617,17 @@ class ConditionalDiffusion:
         if M:
             step_coeffs["beta"] = sched.betas[ts]
             step_coeffs["acp_prev"] = sched.alphas_cumprod[ts - 1]
+        LR = self.low_rank_sigma_dim
+        if LR:
+            # x0-uncertainty marginalization: the posterior of the
+            # reverse step integrates p(x0 | x_t) = N(x0_hat, Sigma_t),
+            # so x_{t-1} ~ N(c0 x0_hat + c1 x_t, c0^2 Sigma_t + var_t I)
+            # with Sigma_t = s(t)^2 (diag(d) + U U^T) fitted by the
+            # training NLL. Drawn as c0 s(t) (sqrt(d) eps + U eps_k).
+            lr_U, lr_logdiag, lr_logs = self._lowrank_params(params)
+            lr_Uc = lr_U[M:] if M else lr_U
+            lr_dsqrt = jnp.exp(0.5 * (lr_logdiag[M:] if M else lr_logdiag))
+            step_coeffs["lr_s"] = jnp.exp(lr_logs)[ts]
 
         def body(x, coeffs):
             t_vec = jnp.full((num_samples,), coeffs["t_norm"], jnp.float32)
@@ -553,6 +641,13 @@ class ConditionalDiffusion:
                 xc = x
                 x_in = x
                 noise_key = coeffs["step_key"]
+            if LR:
+                # Extra keys derived only when the channel is on: key
+                # indices (and fixed-seed numerics) are unchanged for
+                # existing checkpoints otherwise.
+                noise_key, lr_e_key, lr_f_key = jax.random.split(
+                    noise_key, 3
+                )
             pred, _ = self._split_sigma(denoise(x_in, t_vec))
             mut_logits = pred[:, :M]
             cont_pred = pred[:, M:] if M else pred
@@ -563,6 +658,15 @@ class ConditionalDiffusion:
             )
             z = self._step_noise(noise_key, xc.shape, carry_dtype)
             xc_next = mean + coeffs["sqrt_var"].astype(carry_dtype) * z
+            if LR:
+                eps = jax.random.normal(lr_e_key, xc.shape, jnp.float32)
+                epsk = jax.random.normal(
+                    lr_f_key, (xc.shape[0], LR), jnp.float32
+                )
+                corr = lr_dsqrt * eps + epsk @ lr_Uc.T
+                xc_next = xc_next + (
+                    coeffs["coef_x0"] * coeffs["lr_s"]
+                ).astype(carry_dtype) * corr.astype(carry_dtype)
             if not M:
                 return xc_next, None
             # Exact binary D3PM posterior step for the mutation block.
@@ -609,6 +713,16 @@ class ConditionalDiffusion:
             logvar_c = logvar[:, M:] if M else logvar
             z = jax.random.normal(resid_rng, x0.shape, jnp.float32)
             x0 = x0 + jnp.exp(0.5 * logvar_c) * z
+        if LR:
+            # t = 0 residual draw from the fitted Sigma_0 (the low-rank
+            # analogue of the learned-sigma final residual).
+            lr_e_key, lr_f_key = jax.random.split(resid_rng)
+            eps = jax.random.normal(lr_e_key, x0.shape, jnp.float32)
+            epsk = jax.random.normal(
+                lr_f_key, (x0.shape[0], LR), jnp.float32
+            )
+            s0 = jnp.exp(lr_logs[0])
+            x0 = x0 + s0 * (lr_dsqrt * eps + epsk @ lr_Uc.T)
         if M:
             p1 = jax.nn.sigmoid(mut_logits.astype(jnp.float32))
             bits = jax.random.bernoulli(final_bit_rng, p1).astype(jnp.float32)

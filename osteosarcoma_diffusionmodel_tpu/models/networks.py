@@ -112,8 +112,33 @@ class DiffusionDenoiser(nn.Module):
     # At generation the factors are drawn from a Gaussian prior fitted
     # on the training cohort's encoded latents.
     latent_factor_dim: int = 0
+    # Low-rank correlated residual sigma (config.py DiffusionConfig
+    # low_rank_sigma_dim): k > 0 creates Sigma_x0(t) = s(t)^2
+    # (diag(d) + U U^T) parameters — loadings U (D, k), log-diag d (D,)
+    # and a per-timestep log-scale s (T,). Fitted by Woodbury NLL in
+    # ConditionalDiffusion.loss; consumed by the reverse loop's
+    # x0-uncertainty marginalization.
+    low_rank_sigma_dim: int = 0
+    low_rank_sigma_steps: int = 0
+    # Rows of U that carry loadings (0 = data_dim): the "mutations"
+    # scope restricts the factors to the leading binary block.
+    low_rank_sigma_rows: int = 0
 
     def setup(self):
+        if self.low_rank_sigma_dim > 0:
+            rows = self.low_rank_sigma_rows or self.data_dim
+            self.lowrank_U = self.param(
+                "lowrank_U", nn.initializers.normal(0.01),
+                (rows, self.low_rank_sigma_dim), jnp.float32,
+            )
+            self.lowrank_logdiag = self.param(
+                "lowrank_logdiag", nn.initializers.zeros,
+                (self.data_dim,), jnp.float32,
+            )
+            self.lowrank_logs = self.param(
+                "lowrank_logs", nn.initializers.zeros,
+                (self.low_rank_sigma_steps,), jnp.float32,
+            )
         if self.latent_factor_dim > 0:
             self.latent_encoder_fc1 = nn.Dense(
                 128, dtype=self.dtype, name="latent_enc_fc1"
@@ -172,6 +197,10 @@ class DiffusionDenoiser(nn.Module):
         to conditions; generation: replaced by prior draws)."""
         h = nn.silu(self.latent_encoder_fc1(x0.astype(self.dtype)))
         return self.latent_encoder_fc2(h).astype(jnp.float32)
+
+    def lowrank_sigma(self):
+        """(U, log_diag, log_s) of the low-rank residual covariance."""
+        return self.lowrank_U, self.lowrank_logdiag, self.lowrank_logs
 
     def init_all(self, x, t, conditions, enc_x=None):
         """Initialization entry touching every submodule (flax creates

@@ -57,6 +57,7 @@ def supports_fused(model) -> bool:
     return (
         model.parameterization == "x0"
         and not model.learn_sigma
+        and getattr(model, "low_rank_sigma_dim", 0) == 0
         and d.input_skip
         and model.noise_type == "uniform"
         and model.clip_denoised

@@ -196,11 +196,24 @@ class Trainer:
                 )
 
         # Optimizer: clip -> AdamW with injectable LR (plateau updates
-        # mutate state, never trigger recompiles).
+        # mutate state, never trigger recompiles). The low-rank sigma
+        # covariance params are excluded from weight decay: they model
+        # second moments, and decaying them toward zero fights their
+        # only gradient source (the Woodbury NLL) — measured round 3 to
+        # pin U at its init through a full 600-epoch run.
+        def _decay_mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: not str(
+                    getattr(path[0], "key", path[0])
+                ).startswith("lowrank"),
+                params,
+            )
+
         self.tx = optax.chain(
             optax.clip_by_global_norm(tc.grad_clip_norm),
-            optax.inject_hyperparams(optax.adamw)(
-                learning_rate=tc.learning_rate, weight_decay=tc.weight_decay
+            optax.inject_hyperparams(optax.adamw, static_args=("mask",))(
+                learning_rate=tc.learning_rate, weight_decay=tc.weight_decay,
+                mask=_decay_mask,
             ),
         )
 

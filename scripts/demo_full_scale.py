@@ -71,6 +71,14 @@ def main():
         cfg.model.diffusion.latent_encoder_input = os.environ[
             "DEMO_LATENT_INPUT"
         ]
+    if "DEMO_LOWRANK_K" in os.environ:  # low-rank correlated sigma
+        cfg.model.diffusion.low_rank_sigma_dim = int(
+            os.environ["DEMO_LOWRANK_K"]
+        )
+    if "DEMO_LOWRANK_SCOPE" in os.environ:  # full | mutations
+        cfg.model.diffusion.low_rank_sigma_scope = os.environ[
+            "DEMO_LOWRANK_SCOPE"
+        ]
     if os.environ.get("DEMO_FINETUNE"):  # sample-path fine-tune (STEP 4b)
         cfg.training.sample_path_finetune.enabled = True
         cfg.training.sample_path_finetune.steps = int(
