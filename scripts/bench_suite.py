@@ -128,6 +128,27 @@ def main():
                 batch_s / dt
             )
 
+    # Round-3 kernel variants at the headline batch: GroupNorm stats
+    # implementation (gn_mode; bf16 is the shipped default, f32 the
+    # round-2 layout) and the int8 MXU mode (measured wash-to-loss for
+    # DDPM — kept reproducible here; BASELINE.md anatomy).
+    if fused is not None:
+        from osteosarcoma_diffusionmodel_tpu.ops.fused_sampler import (
+            FusedSampler,
+        )
+
+        cond_s = jnp.zeros((32768, C))
+        for label, kw in (
+            ("gn_f32", dict(gn_mode="f32")),
+            ("int8_out", dict(gn_mode="bf16", quantize="out")),
+        ):
+            fs_var = FusedSampler(model, params, **kw)
+            dt = timeit(
+                lambda c, k: fs_var.sample(c, k),
+                cond_s, jax.random.PRNGKey(3), n=2,
+            )
+            results[f"ddpm1000_fused_b32768_{label}"] = 32768 / dt
+
     # Binary D3PM mutation head (scan sampler; bits drawn in-scan).
     import dataclasses as _dc
 
