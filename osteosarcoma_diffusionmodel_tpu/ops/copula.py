@@ -323,7 +323,13 @@ def _whiten_exact(u: np.ndarray, floor: float = 1e-6) -> np.ndarray:
     else:
         gram = (u.astype(np.float64).T @ u.astype(np.float64)) / n
         eigval, eigvec = np.linalg.eigh(gram)
-        inv_sqrt = 1.0 / np.sqrt(np.maximum(eigval, floor))
+        # Discard (zero) sub-floor directions exactly like the dual
+        # branch above: clamping instead would amplify their float
+        # noise by 1/sqrt(floor) ~ 1000x into w, so the same cohort
+        # got opposite treatment depending on which branch it hit.
+        inv_sqrt = np.where(
+            eigval > floor, 1.0 / np.sqrt(np.maximum(eigval, floor)), 0.0
+        )
         w = (u @ (eigvec * inv_sqrt).astype(np.float32)) @ eigvec.T.astype(
             np.float32
         )

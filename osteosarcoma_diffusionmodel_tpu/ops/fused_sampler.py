@@ -180,7 +180,10 @@ def _groupnorm(h, g, gt, scale, bias, group_size, gn_mode="f32"):
             jnp.dot(h * h, g, preferred_element_type=jnp.float32)
             / group_size
         )
-        var = sqs - sums * sums
+        # E[x^2] - E[x]^2 cancellation can dip below -GN_EPS when
+        # |mean| >> std (catastrophic for rsqrt); clamp like every
+        # production GN implementation does.
+        var = jnp.maximum(sqs - sums * sums, 0.0)
         mean_full = jnp.dot(sums, gt, preferred_element_type=jnp.float32)
         var_full = jnp.dot(var, gt, preferred_element_type=jnp.float32)
         inv = jax.lax.rsqrt(var_full + GN_EPS)
@@ -195,7 +198,10 @@ def _groupnorm(h, g, gt, scale, bias, group_size, gn_mode="f32"):
     else:  # "bf16" / "merged3": two narrow forward dots
         mean = jnp.dot(hb, g, preferred_element_type=jnp.float32)
         msq = jnp.dot(hb * hb, g, preferred_element_type=jnp.float32)
-    var = msq - mean * mean
+    # bf16-quantized h makes the cancellation error ~2^-8 relative, so
+    # the clamp is load-bearing here: a group with |mean|/std >~ 50
+    # otherwise drives var below -GN_EPS and rsqrt to NaN.
+    var = jnp.maximum(msq - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + GN_EPS)
     mi = (mean * inv).astype(jnp.bfloat16)
     ib = inv.astype(jnp.bfloat16)

@@ -24,6 +24,7 @@ import logging
 import os
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Dict, Optional
@@ -101,6 +102,11 @@ class GenerationService:
             "max_seconds": 0.0, "cache_hits": 0, "warmups": 0,
             "warmup_seconds": 0.0,
         }
+        # Rolling window of served (non-internal, non-cache-hit)
+        # request latencies for the p50/p95/p99 the <1 s SLA is judged
+        # on (reference docs/DEPLOYMENT.md latency target; mean/max
+        # alone hide tail behavior).
+        self._latencies: deque = deque(maxlen=1024)
 
     @staticmethod
     def _profile_key(scenario: Optional[Dict], bucket: int, sampler: str):
@@ -211,6 +217,7 @@ class GenerationService:
                 self.metrics["max_seconds"] = max(
                     self.metrics["max_seconds"], dt
                 )
+                self._latencies.append(dt)
         if not internal:
             if self.drift is not None:
                 self.drift.update(out["conditions"][:num_samples])
@@ -233,6 +240,10 @@ class GenerationService:
         m = dict(self.metrics)
         if m["requests"]:
             m["mean_seconds"] = m["total_seconds"] / m["requests"]
+        if self._latencies:
+            lat = np.sort(np.asarray(self._latencies))
+            for q, name in ((50, "p50"), (95, "p95"), (99, "p99")):
+                m[f"{name}_seconds"] = float(np.percentile(lat, q))
         if self.drift is not None:
             m["drift_score"] = self.drift.score()
         return m

@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Measured serving-latency SLA artifact (SERVING_SLA.json).
+
+docs/DEPLOYMENT.md documents the <1 s/generation SLA with a measured
+warm-latency table; this script makes that table a REGENERABLE, gated
+artifact instead of prose: it trains a production-dims checkpoint
+(latency is independent of convergence), starts GenerationService
+in-process, warms every (sampler, bucket) pair, fires repeated
+requests, and writes per-pair p50/p95/max. `--assert` exits non-zero
+if any warm p95 exceeds 1 s, so the SLA claim cannot silently go
+stale (same discipline as scripts/demo_full_scale.py --assert for the
+quality gate).
+
+Reference counterpart: the aspirational <1 s target in the reference's
+deployment docs (never measured there; no serving implementation
+exists in the reference at all).
+
+Usage:
+    python scripts/bench_serving.py [--assert]
+Env knobs: SLA_EPOCHS (default 20), SLA_REQUESTS (default 20),
+SLA_BUCKETS (default "1,64,1024").
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+from osteosarcoma_diffusionmodel_tpu.cli import (  # noqa: E402
+    compute_pathway_features,
+    train_model,
+)
+from osteosarcoma_diffusionmodel_tpu.config import Config  # noqa: E402
+from osteosarcoma_diffusionmodel_tpu.data.dataset import (  # noqa: E402
+    make_dummy_data,
+)
+
+
+def main():
+    import jax
+
+    from osteosarcoma_diffusionmodel_tpu.serving.server import (
+        GenerationService,
+    )
+    from osteosarcoma_diffusionmodel_tpu.utils.profiling import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    workdir = Path(tempfile.mkdtemp(prefix="osdm_sla_"))
+    os.chdir(workdir)
+    print(f"workdir: {workdir}", flush=True)
+
+    make_dummy_data(
+        workdir / "processed", n_samples=100,
+        n_mutation_genes=62, n_expression_genes=5054, n_pathways=26,
+    )
+    cfg = Config()
+    cfg.data.processed_dir = str(workdir / "processed")
+    cfg.training.num_epochs = int(os.environ.get("SLA_EPOCHS", 20))
+    cfg.training.patience = cfg.training.num_epochs
+    cfg.training.save_dir = str(workdir / "ckpt")
+    # DDIM requests use the production preset's 50 strided steps
+    # (config/production.yaml); DDPM always runs the full 1000.
+    cfg.generation.sampling_steps = 50
+    compute_pathway_features(cfg)
+    train_model(cfg)
+
+    buckets = [
+        int(b) for b in os.environ.get("SLA_BUCKETS", "1,64,1024").split(",")
+    ]
+    n_req = int(os.environ.get("SLA_REQUESTS", 20))
+    samplers = ("ddpm", "ddim")
+
+    service = GenerationService(cfg.training.save_dir)
+    service.warmup(tuple(buckets), samplers=samplers)
+
+    report = {
+        "device": jax.devices()[0].device_kind,
+        "requests_per_pair": n_req,
+        "ddim_steps": 50,
+        "pairs": {},
+    }
+    sla_ok = True
+    for sampler in samplers:
+        for b in buckets:
+            lat = []
+            for i in range(n_req):
+                # Vary the scenario so no layer can shortcut repeats.
+                t0 = time.perf_counter()
+                service.generate(
+                    b, {"survival_time": 300 + 37 * i}, sampler=sampler
+                )
+                lat.append(time.perf_counter() - t0)
+            lat = np.sort(np.asarray(lat))
+            entry = {
+                "p50_seconds": float(np.percentile(lat, 50)),
+                "p95_seconds": float(np.percentile(lat, 95)),
+                "max_seconds": float(lat[-1]),
+            }
+            report["pairs"][f"{sampler}_b{b}"] = entry
+            print(f"{sampler} b{b}: {entry}", flush=True)
+            if entry["p95_seconds"] > 1.0:
+                sla_ok = False
+
+    # The service's own /metrics percentiles must be live on real
+    # traffic (they aggregate across all pairs).
+    summary = service.metrics_summary()
+    report["service_metrics"] = {
+        k: summary[k]
+        for k in ("p50_seconds", "p95_seconds", "p99_seconds",
+                  "requests", "mean_seconds")
+    }
+    report["sla_p95_under_1s"] = sla_ok
+
+    out = Path(os.environ.get("SLA_OUT", REPO / "SERVING_SLA.json"))
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+    if "--assert" in sys.argv:
+        if sla_ok:
+            print("SLA GATE PASSED (warm p95 < 1 s on every pair)")
+        else:
+            print("SLA GATE FAILED")
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -390,3 +390,34 @@ def test_whiten_exact_primal_and_dual_agree():
     ev = np.linalg.eigvalsh(gram)
     nz = ev[ev > 1e-3]
     assert nz.max() / nz.min() < 1.5
+
+
+def test_whiten_exact_primal_discards_subfloor_directions():
+    """The primal (n >= d) branch must DISCARD sub-floor eigen
+    directions exactly like the dual branch — clamping to the floor
+    instead under-whitens them (residual variance eigval/floor survives
+    into w), so the same cohort got opposite treatment depending on
+    which branch its batch size hit."""
+    from osteosarcoma_diffusionmodel_tpu.ops.copula import _whiten_exact
+
+    rng = np.random.default_rng(2)
+    n, d = 400, 8
+    q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    # Seven unit-variance directions plus one at 3e-7 — below the 1e-6
+    # floor but far above float noise.
+    scales = np.ones(d)
+    scales[-1] = np.sqrt(3e-7)
+    z = rng.normal(size=(n, d))
+    z -= z.mean(axis=0)
+    z /= z.std(axis=0)
+    u = ((z * scales) @ q.T).astype(np.float32)
+    w = _whiten_exact(u)
+    assert np.isfinite(w).all()
+    ev = np.sort(np.linalg.eigvalsh(np.cov(w, rowvar=False)))
+    # The sub-floor direction is zeroed: smallest eigenvalue ~0. The
+    # old clamping path left it at eigval/floor ~ 0.3 instead. (The
+    # span eigenvalues sit near 1 but are stretched by the final
+    # per-column renorm, so only sanity-bound them.)
+    assert ev[0] < 0.15
+    assert ev[1] > 0.5
+    assert np.isfinite(ev).all()

@@ -111,3 +111,33 @@ def test_quantized_discrete_head_bits_stay_binary():
     out = np.asarray(sampler.sample(cond, jax.random.PRNGKey(5), noise=noise))
     bits = out[:, : dims.mutation_dim]
     assert set(np.unique(bits)).issubset({0.0, 1.0})
+
+
+@pytest.mark.parametrize("gn_mode", ["f32", "bf16", "merged3", "merged"])
+def test_groupnorm_extreme_offset_stays_finite(gn_mode):
+    """Regression: E[x^2] - E[x]^2 cancellation (catastrophic in the
+    bf16 stats modes once |mean|/std >~ 50) drove var below -GN_EPS and
+    rsqrt to NaN, poisoning the whole reverse loop. The clamp keeps the
+    kernel finite; accuracy at such extreme offsets is inherently
+    bf16-limited, so only finiteness is asserted here (parity at
+    realistic activations is covered by test_gn_modes_match_reference_loop)."""
+    from osteosarcoma_diffusionmodel_tpu.ops.fused_sampler import (
+        NUM_GROUPS,
+        _group_mats,
+        _groupnorm,
+    )
+
+    F = 256
+    rng = np.random.default_rng(0)
+    # Group mean 17, std 0.3 — reproduces the pre-clamp NaN in
+    # bf16/merged modes.
+    h = jnp.asarray(
+        17.0 + 0.3 * rng.normal(size=(8, F)).astype(np.float32)
+    )
+    g, gt = _group_mats(F, gn_mode)
+    scale = jnp.ones((1, F), jnp.float32)
+    bias = jnp.zeros((1, F), jnp.float32)
+    out = np.asarray(
+        _groupnorm(h, g, gt, scale, bias, F // NUM_GROUPS, gn_mode)
+    )
+    assert np.isfinite(out).all()

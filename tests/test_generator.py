@@ -119,3 +119,25 @@ def test_batched_scenarios_matches_unbatched_conditions(generator):
             atol=1e-6,
         )
         assert set(np.unique(batched[name]["mutations"])) <= {0.0, 1.0}
+
+
+def test_dump_raw_per_scenario_suffix(generator, tmp_path, monkeypatch):
+    """OSDM_DUMP_RAW must not clobber earlier dumps when _postprocess
+    runs once per scenario (batch_scenarios: false): repeat calls get
+    an _s{i} suffix while the first/batched cohort keeps the base path
+    the replay scripts read."""
+    base = tmp_path / "raw.npz"
+    monkeypatch.setenv("OSDM_DUMP_RAW", str(base))
+    generator._dump_count = 0
+    d = generator.dims.data_dim
+    s1 = np.random.default_rng(0).normal(size=(4, d)).astype(np.float32)
+    s2 = np.random.default_rng(1).normal(size=(4, d)).astype(np.float32)
+    cond = np.zeros((4, generator.dims.condition_dim), np.float32)
+    generator._postprocess(s1, cond)
+    generator._postprocess(s2, cond)
+    assert base.exists()
+    assert (tmp_path / "raw_s1.npz").exists()
+    np.testing.assert_array_equal(np.load(base)["samples"], s1)
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "raw_s1.npz")["samples"], s2
+    )

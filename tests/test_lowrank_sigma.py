@@ -271,3 +271,16 @@ def test_lowrank_mutations_scope():
     out = model.sample(params, jnp.zeros((4, dims.condition_dim)),
                        jax.random.PRNGKey(5))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lowrank_mutations_scope_excludes_discrete_head():
+    """With the discrete mutation head on, loss and sampler slice the
+    continuous block (U[M:]) — a mutations-scoped U would silently
+    train and sample as a no-op, so from_config must reject the combo
+    (same discipline as the learn_sigma conflict)."""
+    cfg = _cfg(4)
+    cfg.model.diffusion.low_rank_sigma_scope = "mutations"
+    cfg.model.diffusion.discrete_mutation_head = True
+    dims = cfg.freeze_dims(5, 12, 3, ["a", "b", "c"])
+    with pytest.raises(ValueError, match="discrete_mutation_head"):
+        ConditionalDiffusion.from_config(cfg, dims)

@@ -37,9 +37,15 @@ def test_expression_scores_equal_loop(rng):
     for pathway in scores.columns:
         members = [g for g in HALLMARK_GENE_SETS[pathway] if g in expr.columns]
         assert len(members) >= 5
-        expected = expr[members].mean(axis=1)
+        expected = expr[members].astype(np.float64).mean(axis=1)
+        # rtol sits above f32 summation-reassociation noise (the masked
+        # matmul and pandas' pairwise mean order ~200-member sums
+        # differently, and XLA:CPU partitioning can shift with thread
+        # availability — observed as a 1-in-many-runs flake at 1e-5)
+        # but far below any semantic error (wrong membership or
+        # normalization changes values at the 1e-2+ level).
         np.testing.assert_allclose(
-            scores[pathway].values, expected.values, rtol=1e-5
+            scores[pathway].values, expected.values, rtol=1e-4
         )
     # Pathways with <5 present genes are dropped.
     assert "HALLMARK_GLYCOLYSIS" not in scores.columns

@@ -444,3 +444,18 @@ def test_profile_cache_hits_stay_audited(trained_checkpoint, tmp_path):
     assert len(lines) == 2
     last = json.loads(lines[-1].split("generation ", 1)[1])
     assert last.get("cached") is True
+
+
+def test_latency_percentiles(trained_checkpoint):
+    """/metrics latency percentiles: served requests populate
+    p50/p95/p99 (the tail stats the <1 s SLA is judged on); warmup and
+    cache hits must not contribute samples."""
+    service = GenerationService(trained_checkpoint)
+    service.warmup(4)
+    assert "p50_seconds" not in service.metrics_summary()
+    for i in range(5):
+        service.generate(3, {"survival_time": 400 + i})
+    m = service.metrics_summary()
+    assert 0.0 < m["p50_seconds"] <= m["p95_seconds"] <= m["p99_seconds"]
+    assert m["p99_seconds"] <= m["max_seconds"] + 1e-9
+    assert len(service._latencies) == 5
