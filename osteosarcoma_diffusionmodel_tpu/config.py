@@ -141,6 +141,27 @@ class DiffusionConfig:
     # Weight of the mutation-block BCE term relative to the continuous
     # elementwise loss.
     discrete_ce_weight: float = 1.0
+    # Autoregressive (FVSBN) mutation head (round-3 model-owned
+    # joint-structure candidate #6): a strictly-lower-triangular
+    # logistic chain logit_i = b_i + sum_{j<i} W_ij m_j + f(context)_i
+    # trained teacher-forced with cross-entropy — DIRECT gradients on
+    # the 62*61/2 pairwise couplings, unlike the diffusion-MSE
+    # channels (D3PM head, sample-path finetune, latent factors,
+    # low-rank sigma) where the optimal x0 prediction degenerates to
+    # the per-gene frequency at n <= 400. Generation draws the bits
+    # sequentially conditioned on the sampled continuous block, so
+    # the mutation joint is model-owned and natively binary.
+    # Mutually exclusive with discrete_mutation_head.
+    ar_mutation_head: bool = False
+    ar_ce_weight: float = 1.0
+    # What f(context) sees besides the clinical scenario: "pathways"
+    # (default — low-dim, robust at n=100-400, carries the
+    # mutation<->pathway coupling), "continuous" (full expression +
+    # pathway block through the context MLP), "none" (scenario only).
+    ar_context: str = "pathways"
+    ar_context_hidden: int = 64
+    # Explicit L2 shrinkage on the coupling matrix W.
+    ar_l2: float = 1e-4
 
 
 @dataclass
@@ -365,27 +386,27 @@ class GenerationConfig:
     # deviation vs bf16 is ~1-2% RMS (elementwise corr 0.999).
     fused_quantize: str = "none"
     # Calibration of generated cohorts against the training cohort:
-    #   "copula_full" — mutations: latent-Gaussian (tetrachoric) copula
-    #                fitted on the real cohort and transplanted onto the
-    #                generated scores (pairwise co-occurrence /
-    #                mutual-exclusivity structure matches the data);
-    #                continuous: the real rank correlation transplanted
-    #                before quantile mapping (within-pathway coherence +
-    #                cross-feature structure match). The default —
-    #                measured: pathway coherence corr 0.36 -> 0.91, MMD
-    #                0.24 -> 0.07 on the 10k full-scale demo
-    #                (ops/copula.py).
+    #   "copula_joint" — one latent-Gaussian factor over the FULL
+    #                [mutations | continuous] patient vector (Gram of
+    #                per-column scores, exact eigen-whitening, second-
+    #                stage tetrachoric re-sharpening of the bits). The
+    #                default — fixes the round-2 n=400 cross-block and
+    #                coherence regressions: overall 0.839 -> 0.996,
+    #                coherence pattern corr 0.48 -> 0.99 (ops/copula.py,
+    #                DEMO_N400.json).
+    #   "copula_full" — round-2 per-block transplants: mutations via a
+    #                tetrachoric latent-Gaussian copula; continuous via
+    #                the real rank correlation before quantile mapping.
+    #                Kept for comparability (coherence corr 0.36 -> 0.91,
+    #                MMD 0.24 -> 0.07 on the 10k full-scale demo).
     #   "copula"   — copula mutations + marginal-only (quantile-mapped)
     #                continuous features
     #   "quantile" — marginals only for both blocks
     #   "moment"   — per-feature mean/std matching only
     #   false      — raw model output (the reference's fixed 0.5 cut,
     #                reference generate.py:135)
-    # true is accepted as an alias for "copula_full".
-    # Marginal/joint calibration mode: copula_joint (default; one
-    # latent-Gaussian factor over the full patient vector — fixes the
-    # n=400 cross-block and coherence regressions, see ops/copula.py) |
-    # copula_full | copula | quantile | moment | false.
+    # true is accepted as an alias for the default ("copula_joint",
+    # generator.py _CAL_ALIAS).
     calibrate_marginals: Any = "copula_joint"
     scenarios: List[Scenario] = field(
         default_factory=lambda: [

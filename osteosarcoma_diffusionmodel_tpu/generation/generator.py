@@ -75,6 +75,14 @@ class SyntheticPatientGenerator:
         # per variant; key None = DDPM, int = that many DDIM steps;
         # False = probed and unsupported.
         self._fused_cache = {}
+        # OSDM_DUMP_RAW calls this generation (per-scenario dumps get
+        # a _s{i} suffix so they don't clobber each other).
+        self._dump_count = 0
+        # Jitted AR-mutation-head sampler + per-call counter (each
+        # _postprocess call folds the counter into its key so the
+        # per-scenario loop draws fresh bits).
+        self._ar_fn = None
+        self._ar_calls = 0
 
     # ------------------------------------------------------------------
     def create_conditions(
@@ -309,8 +317,19 @@ class SyntheticPatientGenerator:
         if os.environ.get("OSDM_DUMP_RAW"):
             # Debug hook: persist the pre-calibration model outputs so
             # calibration variants can be replayed host-side without
-            # re-running the sampler (doctor-style diagnostics).
+            # re-running the sampler (doctor-style diagnostics). With
+            # batch_scenarios off, _postprocess runs once per scenario —
+            # suffix repeat calls so the per-scenario loop cannot
+            # clobber earlier dumps (replay scripts read the base path,
+            # i.e. the first/batched cohort).
             dump = Path(os.environ["OSDM_DUMP_RAW"])
+            n_prev = self._dump_count
+            self._dump_count += 1
+            if n_prev:
+                dump = dump.with_name(
+                    f"{dump.name[:-4] if dump.name.endswith('.npz') else dump.name}"
+                    f"_s{n_prev}.npz"
+                )
             dump.parent.mkdir(parents=True, exist_ok=True)
             np.savez_compressed(
                 dump, samples=samples, conditions=np.asarray(conditions)
@@ -325,18 +344,46 @@ class SyntheticPatientGenerator:
         )
         if calibrate:
             mutations, continuous = self._calibrate(samples, m, str(mode))
-            expression = continuous[:, : e]
-            pathways = continuous[:, e:]
         else:
             mutations = (samples[:, :m] > 0.5).astype(np.float32)  # generate.py:135
-            expression = samples[:, m : m + e]
-            pathways = samples[:, m + e :]
+            continuous = samples[:, m:]
+        if (
+            getattr(self.model, "ar_head", False)
+            and m > 0
+            and samples.shape[0] > 0
+        ):
+            # The AR head owns the mutation block: sequential FVSBN
+            # draw conditioned on the (calibrated, when calibration is
+            # on) continuous block + clinical scenario — model-owned
+            # joint structure instead of the 0.5 threshold / copula
+            # transplant above.
+            mutations = self._ar_bits(continuous, np.asarray(conditions))
         return {
             "mutations": mutations,
-            "expression": expression,
-            "pathways": pathways,
+            "expression": continuous[:, :e],
+            "pathways": continuous[:, e:],
             "conditions": np.asarray(conditions),
         }
+
+    def _ar_bits(self, continuous: np.ndarray, conditions: np.ndarray):
+        """Draw the mutation bits from the AR head (jit-cached)."""
+        if self._ar_fn is None:
+            self._ar_fn = jax.jit(
+                lambda p, k, cont, cond: self.model.ar_sample(
+                    p, k, cont, cond
+                )
+            )
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.config.training.random_seed + 977),
+            self._ar_calls,
+        )
+        self._ar_calls += 1
+        bits = self._ar_fn(
+            self.params, key,
+            jnp.asarray(continuous, jnp.float32),
+            jnp.asarray(conditions, jnp.float32),
+        )
+        return np.asarray(bits, np.float32)
 
     def _calibrate(self, samples: np.ndarray, m: int, mode: str):
         """Marginal calibration against the training cohort.
@@ -382,14 +429,20 @@ class SyntheticPatientGenerator:
         if (
             mode == "copula_joint"
             and not getattr(self.model, "discrete_head", False)
+            and not getattr(self.model, "ar_head", False)
             and "mutation_matrix" in stats
             and "data_matrix" in stats
             and samples.shape[0] > 2
             and m > 1
         ):
             # One latent-Gaussian factor over the FULL patient vector:
-            # tetrachoric mutation block + polyserial cross block +
-            # Hermite Pearson-matched continuous block (ops/copula.py).
+            # the Gram of per-column scores (standardized bits + normal
+            # scores) transplanted by exact eigen-whitening, then a
+            # second-stage exact-tetrachoric re-sharpening of the bits;
+            # the continuous marginals are empirically quantile-mapped
+            # afterwards (ops/copula.py; the elementwise Hermite/
+            # polyserial latent machinery there is a small-D diagnostic
+            # tool — measured non-PSD at n << D, see ROADMAP).
             # Fixes the two n=400 regressions of separate transplants:
             # garbled mutation<->pathway coupling and Pearson coherence
             # inflation after quantile mapping (round-2 DEMO_N400).
@@ -407,10 +460,15 @@ class SyntheticPatientGenerator:
                 tie_rng=np.random.default_rng(self._tie_seed()),
             )
             return mutations, self._quantile_map_continuous(cont, m)
-        if getattr(self.model, "discrete_head", False):
-            # The binary D3PM head owns the mutation block: samples are
-            # already exact bits — calibration must not overwrite the
-            # model's joint mutation structure.
+        if getattr(self.model, "discrete_head", False) or getattr(
+            self.model, "ar_head", False
+        ):
+            # The binary D3PM / AR head owns the mutation block:
+            # calibration must not overwrite the model's joint mutation
+            # structure. (With the AR head these thresholded scores are
+            # a placeholder — _postprocess replaces them with the
+            # sequential AR draw conditioned on the calibrated
+            # continuous block.)
             mutations = (raw_mut > 0.5).astype(np.float32)
         elif (
             mode in ("copula", "copula_full", "copula_joint")

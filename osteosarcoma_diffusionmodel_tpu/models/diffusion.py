@@ -151,6 +151,22 @@ class ConditionalDiffusion:
     discrete_head: bool = False
     mutation_dim: int = 0
     discrete_ce_weight: float = 1.0
+    # Autoregressive (FVSBN) mutation head: teacher-forced logistic
+    # chain over the mutation bits with direct CE gradients on the
+    # pairwise couplings (see DiffusionDenoiser.ar_logits). At
+    # generation the bits are drawn sequentially conditioned on the
+    # patient's continuous block + clinical scenario (ar_sample), so
+    # the mutation block is model-owned and natively binary — the
+    # joint-structure channel the diffusion-MSE candidates lack.
+    # config.py DiffusionConfig.ar_mutation_head.
+    ar_head: bool = False
+    ar_context: str = "pathways"  # pathways | continuous | none
+    ar_ce_weight: float = 1.0
+    # Explicit L2 on the coupling matrix (on top of any optimizer
+    # weight decay): 62*61/2 pairwise params against n=100-400 real
+    # cohorts want tunable shrinkage.
+    ar_l2: float = 1e-4
+    pathway_dim: int = 0
 
     # ------------------------------------------------------------------
     # Construction
@@ -172,6 +188,31 @@ class ConditionalDiffusion:
                 "low_rank_sigma_dim and learn_sigma are mutually "
                 "exclusive residual-sigma channels"
             )
+        if (
+            mc.diffusion.low_rank_sigma_dim > 0
+            and mc.diffusion.low_rank_sigma_scope == "mutations"
+            and mc.diffusion.discrete_mutation_head
+            and dims.mutation_dim > 0
+        ):
+            # The discrete head owns the mutation dims: loss and sampler
+            # both slice the continuous block (U[M:]), which would drop
+            # every row a mutations-scoped U carries — a silent no-op.
+            raise ValueError(
+                "low_rank_sigma_scope='mutations' is incompatible with "
+                "discrete_mutation_head: the discrete head removes the "
+                "mutation rows from the Gaussian residual channel"
+            )
+        if mc.diffusion.ar_mutation_head and mc.diffusion.discrete_mutation_head:
+            raise ValueError(
+                "ar_mutation_head and discrete_mutation_head are mutually "
+                "exclusive owners of the mutation block"
+            )
+        if mc.diffusion.ar_context not in ("pathways", "continuous", "none"):
+            raise ValueError(
+                f"Unknown diffusion.ar_context {mc.diffusion.ar_context!r};"
+                " expected pathways|continuous|none"
+            )
+        ar_on = mc.diffusion.ar_mutation_head and dims.mutation_dim > 0
         denoiser = DiffusionDenoiser(
             data_dim=dims.data_dim,
             time_dim=mc.latent_dim,
@@ -189,6 +230,8 @@ class ConditionalDiffusion:
                 if mc.diffusion.low_rank_sigma_scope == "mutations"
                 else 0
             ),
+            ar_head_dim=dims.mutation_dim if ar_on else 0,
+            ar_context_hidden=mc.diffusion.ar_context_hidden,
         )
         schedule = DiffusionSchedule.create(
             mc.diffusion.beta_schedule, mc.diffusion.num_steps
@@ -241,6 +284,11 @@ class ConditionalDiffusion:
             ),
             mutation_dim=dims.mutation_dim,
             discrete_ce_weight=mc.diffusion.discrete_ce_weight,
+            ar_head=ar_on,
+            ar_context=mc.diffusion.ar_context,
+            ar_ce_weight=mc.diffusion.ar_ce_weight,
+            ar_l2=mc.diffusion.ar_l2,
+            pathway_dim=dims.pathway_dim,
         )
 
     def init_params(self, rng: jax.Array, condition_dim: int):
@@ -251,13 +299,85 @@ class ConditionalDiffusion:
         c = jnp.zeros(
             (2, condition_dim + self.latent_factor_dim), jnp.float32
         )
-        if self.latent_factor_dim > 0:
+        if self.latent_factor_dim > 0 or self.ar_head:
+            ar_ctx = None
+            if self.ar_head:
+                ar_ctx = jnp.zeros(
+                    (2, self._ar_context_width(condition_dim)), jnp.float32
+                )
             return self.denoiser.init(
                 {"params": rng}, x, t, c,
                 enc_x=self._latent_encoder_view(x),
+                ar_ctx=ar_ctx,
                 method=DiffusionDenoiser.init_all,
             )["params"]
         return self.denoiser.init({"params": rng}, x, t, conditions=c)["params"]
+
+    # ------------------------------------------------------------------
+    # Autoregressive mutation head
+    # ------------------------------------------------------------------
+    def _ar_context_width(self, condition_dim: int) -> int:
+        if self.ar_context == "pathways":
+            return self.pathway_dim + condition_dim
+        if self.ar_context == "continuous":
+            return self.denoiser.data_dim - self.mutation_dim + condition_dim
+        return condition_dim
+
+    def _ar_context_view(
+        self, continuous: jnp.ndarray, conditions: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Context the AR head conditions on. ``continuous`` is the
+        (B, D - M) [expression | pathways] block — REAL features during
+        training, the sampled (and, when calibration is on, calibrated)
+        block at generation. Pathway scores are the default: low-dim
+        (robust at n=100-400) and they summarize the expression state
+        the mutation<->pathway coupling rides on."""
+        if self.ar_context == "pathways" and self.pathway_dim > 0:
+            view = continuous[:, -self.pathway_dim:]
+        elif self.ar_context == "continuous":
+            view = continuous
+        else:
+            return conditions.astype(jnp.float32)
+        return jnp.concatenate(
+            [view.astype(jnp.float32), conditions.astype(jnp.float32)], axis=1
+        )
+
+    def ar_sample(
+        self,
+        params,
+        rng: jax.Array,
+        continuous: jnp.ndarray,
+        conditions: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Sequential FVSBN draw of the mutation bits.
+
+        62 scan steps of one (B, M) x (M,) matvec each — microseconds
+        next to the reverse diffusion loop. The context term is
+        loop-invariant and hoisted out of the scan.
+        """
+        M = self.mutation_dim
+        ctx = self._ar_context_view(continuous, conditions)
+        ctx_logits = self.denoiser.apply(
+            {"params": params}, ctx,
+            method=DiffusionDenoiser.ar_context_logits,
+        )
+        mask = jnp.tril(jnp.ones((M, M), jnp.float32), -1)
+        w = params["ar_coupling"] * mask
+        bias = params["ar_bias"]
+        batch = continuous.shape[0]
+
+        def body(bits, inp):
+            i, key = inp
+            logit = bits @ w[i] + bias[i] + ctx_logits[:, i]
+            bit = jax.random.bernoulli(
+                key, jax.nn.sigmoid(logit)
+            ).astype(jnp.float32)
+            return bits.at[:, i].set(bit), None
+
+        bits0 = jnp.zeros((batch, M), jnp.float32)
+        keys = derive_step_keys(rng, M, self.sampler_rng_impl)
+        bits, _ = jax.lax.scan(body, bits0, (jnp.arange(M), keys))
+        return bits
 
     def _latent_encoder_view(self, x0: jnp.ndarray) -> jnp.ndarray:
         if self.latent_encoder_input == "mutations" and self.mutation_dim:
@@ -347,6 +467,9 @@ class ConditionalDiffusion:
         """
         batch = x0.shape[0]
         M = self.mutation_dim if self.discrete_head else 0
+        # The AR head sees the raw clinical conditions (not the
+        # latent-factor-augmented / CFG-dropped vector built below).
+        clin_conditions = conditions
         # bit_rng appended last: the continuous path's key indices (and
         # therefore its numerics for a fixed seed) are unchanged.
         t_rng, noise_rng, drop_rng, cfg_rng, bit_rng = jax.random.split(rng, 5)
@@ -420,6 +543,26 @@ class ConditionalDiffusion:
             ce = jnp.mean(bernoulli_cross_entropy(mut_logits, mut0))
             metrics["mutation_ce"] = ce
             total = total + self.discrete_ce_weight * ce
+        if self.ar_head and self.mutation_dim > 0:
+            # Teacher-forced FVSBN cross-entropy on the CLEAN bits —
+            # the direct pairwise-coupling gradient channel. Gradients
+            # touch only the AR parameters (bits/context are data), so
+            # joint training with the diffusion loss is interference-
+            # free.
+            Ma = self.mutation_dim
+            ar_logits = self.denoiser.apply(
+                {"params": params},
+                x0[:, :Ma],
+                self._ar_context_view(x0[:, Ma:], clin_conditions),
+                method=DiffusionDenoiser.ar_logits,
+            )
+            ar_ce = jnp.mean(bernoulli_cross_entropy(ar_logits, x0[:, :Ma]))
+            metrics["ar_ce"] = ar_ce
+            total = total + self.ar_ce_weight * ar_ce
+            if self.ar_l2 > 0:
+                total = total + self.ar_l2 * jnp.sum(
+                    params["ar_coupling"] ** 2
+                )
 
         x0_pred = None
         cont_x0_pred = None

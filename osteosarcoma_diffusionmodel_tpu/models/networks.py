@@ -123,6 +123,17 @@ class DiffusionDenoiser(nn.Module):
     # Rows of U that carry loadings (0 = data_dim): the "mutations"
     # scope restricts the factors to the leading binary block.
     low_rank_sigma_rows: int = 0
+    # Autoregressive (FVSBN) mutation head (config.py DiffusionConfig
+    # ar_mutation_head): M > 0 creates a strictly-lower-triangular
+    # coupling matrix W (M, M), a bias (M,), and a small context MLP.
+    # Teacher-forced logit_i = b_i + sum_{j<i} W_ij m_j + f(ctx)_i —
+    # DIRECT cross-entropy gradients on the pairwise couplings, the
+    # channel the diffusion-MSE joint-structure candidates (D3PM /
+    # finetune / latent-factor / low-rank sigma) measurably lack at
+    # n <= 400. Consumed by ConditionalDiffusion.loss (CE term) and
+    # ar_sample (sequential Bernoulli draw).
+    ar_head_dim: int = 0
+    ar_context_hidden: int = 64
 
     def setup(self):
         if self.low_rank_sigma_dim > 0:
@@ -138,6 +149,30 @@ class DiffusionDenoiser(nn.Module):
             self.lowrank_logs = self.param(
                 "lowrank_logs", nn.initializers.zeros,
                 (self.low_rank_sigma_steps,), jnp.float32,
+            )
+        if self.ar_head_dim > 0:
+            # Zero-ish coupling init: the head starts as independent
+            # per-gene logistic marginals and learns couplings from CE.
+            self.ar_coupling = self.param(
+                "ar_coupling", nn.initializers.normal(0.01),
+                (self.ar_head_dim, self.ar_head_dim), jnp.float32,
+            )
+            self.ar_bias = self.param(
+                "ar_bias", nn.initializers.zeros,
+                (self.ar_head_dim,), jnp.float32,
+            )
+            # Context MLP runs in float32: its inputs are tiny
+            # (pathways + clinicals by default) and its output sits on
+            # the logit scale where bf16 rounding is visible.
+            self.ar_ctx_fc1 = nn.Dense(
+                self.ar_context_hidden, dtype=jnp.float32,
+                name="ar_ctx_fc1",
+            )
+            # Zero-init output layer: context contributes nothing at
+            # init, so early training is pure marginal fitting.
+            self.ar_ctx_fc2 = nn.Dense(
+                self.ar_head_dim, dtype=jnp.float32,
+                kernel_init=nn.initializers.zeros, name="ar_ctx_fc2",
             )
         if self.latent_factor_dim > 0:
             self.latent_encoder_fc1 = nn.Dense(
@@ -202,13 +237,34 @@ class DiffusionDenoiser(nn.Module):
         """(U, log_diag, log_s) of the low-rank residual covariance."""
         return self.lowrank_U, self.lowrank_logdiag, self.lowrank_logs
 
-    def init_all(self, x, t, conditions, enc_x=None):
+    def ar_context_logits(self, context: jnp.ndarray) -> jnp.ndarray:
+        """Per-gene logit contribution of the conditioning context
+        (pathway scores / continuous block + clinical scenario)."""
+        h = nn.silu(self.ar_ctx_fc1(context.astype(jnp.float32)))
+        return self.ar_ctx_fc2(h)
+
+    def ar_logits(self, bits: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        """Teacher-forced FVSBN logits: gene i sees bits j < i only
+        (strict lower-triangular mask) plus the context term."""
+        M = self.ar_head_dim
+        mask = jnp.tril(jnp.ones((M, M), jnp.float32), -1)
+        w = self.ar_coupling * mask
+        return (
+            bits.astype(jnp.float32) @ w.T
+            + self.ar_bias
+            + self.ar_context_logits(context)
+        )
+
+    def init_all(self, x, t, conditions, enc_x=None, ar_ctx=None):
         """Initialization entry touching every submodule (flax creates
         params lazily; plain __call__ would skip the latent encoder).
         ``enc_x``: the encoder's input view when it differs from x
-        (mutations-only encoding)."""
+        (mutations-only encoding); ``ar_ctx``: a context-shaped dummy
+        for the AR head's MLP."""
         if self.latent_factor_dim > 0:
             self.encode_latent(x if enc_x is None else enc_x)
+        if self.ar_head_dim > 0 and ar_ctx is not None:
+            self.ar_context_logits(ar_ctx)
         return self(x, t, conditions=conditions)
 
     def __call__(

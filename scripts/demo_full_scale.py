@@ -79,6 +79,12 @@ def main():
         cfg.model.diffusion.low_rank_sigma_scope = os.environ[
             "DEMO_LOWRANK_SCOPE"
         ]
+    if os.environ.get("DEMO_AR"):  # autoregressive (FVSBN) mutation head
+        cfg.model.diffusion.ar_mutation_head = True
+    if "DEMO_AR_CONTEXT" in os.environ:  # pathways | continuous | none
+        cfg.model.diffusion.ar_context = os.environ["DEMO_AR_CONTEXT"]
+    if "DEMO_AR_L2" in os.environ:
+        cfg.model.diffusion.ar_l2 = float(os.environ["DEMO_AR_L2"])
     if os.environ.get("DEMO_FINETUNE"):  # sample-path fine-tune (STEP 4b)
         cfg.training.sample_path_finetune.enabled = True
         cfg.training.sample_path_finetune.steps = int(

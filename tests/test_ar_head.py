@@ -1,0 +1,249 @@
+"""Autoregressive (FVSBN) mutation head (diffusion.ar_mutation_head —
+round-3 model-owned joint-structure candidate #6).
+
+The five channels measured negative at n <= 400 (D3PM head, sample-path
+finetune, v-param + learned sigma, latent-factor conditioning, low-rank
+correlated sigma) all route pair information through diffusion
+noise/MSE channels, where the optimal x0 prediction is ~ the per-gene
+frequency. The AR head instead gets DIRECT teacher-forced
+cross-entropy gradients on the pairwise couplings:
+
+    logit_i = b_i + sum_{j<i} W_ij m_j + f(context)_i
+
+a fully-visible sigmoid belief network over the mutation bits,
+conditioned on the patient's continuous block (pathway scores by
+default) + clinical scenario, sampled sequentially at generation so the
+mutation block exits the model natively binary AND jointly structured.
+Reference counterpart: the thresholded continuous block the reference
+uses (generate.py:135), which carries no model-owned joint structure.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osteosarcoma_diffusionmodel_tpu.config import Config
+from osteosarcoma_diffusionmodel_tpu.generation.generator import (
+    SyntheticPatientGenerator,
+)
+from osteosarcoma_diffusionmodel_tpu.models.diffusion import (
+    ConditionalDiffusion,
+)
+
+
+def _cfg(context="pathways"):
+    cfg = Config()
+    cfg.model.hidden_dims = [32, 64, 32]
+    cfg.model.latent_dim = 16
+    cfg.model.diffusion.num_steps = 6
+    cfg.model.diffusion.ar_mutation_head = True
+    cfg.model.diffusion.ar_context = context
+    cfg.model.compute_dtype = "float32"
+    cfg.model.constraints.enabled = False
+    return cfg
+
+
+def _stats(rng, dims, n=50):
+    real = rng.normal(size=(n, dims.data_dim)).astype(np.float32)
+    m = dims.mutation_dim
+    real[:, :m] = (real[:, :m] > 0).astype(np.float32)
+    return {
+        "data_matrix": real,
+        "mutation_matrix": real[:, :m],
+        "mutation_freq": real[:, :m].mean(axis=0),
+        "feature_mean": real.mean(axis=0),
+        "feature_std": real.std(axis=0),
+        "feature_sorted": np.sort(real, axis=0),
+    }
+
+
+def test_ar_conflicts_with_discrete_head():
+    cfg = _cfg()
+    cfg.model.diffusion.discrete_mutation_head = True
+    dims = cfg.freeze_dims(5, 12, 3, ["a", "b", "c"])
+    with pytest.raises(ValueError, match="ar_mutation_head"):
+        ConditionalDiffusion.from_config(cfg, dims)
+
+
+def test_ar_params_created_and_loss_term():
+    cfg = _cfg()
+    dims = cfg.freeze_dims(5, 12, 3, ["a", "b", "c"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    assert params["ar_coupling"].shape == (5, 5)
+    assert params["ar_bias"].shape == (5,)
+    # Context = [pathway scores | clinical conditions].
+    assert params["ar_ctx_fc1"]["kernel"].shape[0] == 3 + dims.condition_dim
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (8, dims.data_dim))
+    x0 = x0.at[:, :5].set((x0[:, :5] > 0).astype(jnp.float32))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (8, dims.condition_dim))
+    loss, metrics = model.loss(
+        params, x0, cond, jax.random.PRNGKey(3), deterministic=True
+    )
+    assert jnp.isfinite(loss)
+    assert "ar_ce" in metrics and jnp.isfinite(metrics["ar_ce"])
+
+
+def test_ar_context_modes():
+    for context, extra in (("continuous", 15), ("none", 0)):
+        cfg = _cfg(context)
+        dims = cfg.freeze_dims(5, 12, 3, ["a", "b", "c"])
+        model = ConditionalDiffusion.from_config(cfg, dims)
+        params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+        assert params["ar_ctx_fc1"]["kernel"].shape[0] == (
+            extra + dims.condition_dim
+        )
+
+
+def test_ar_logits_causality():
+    """Gene i's teacher-forced logit must not see bits j >= i."""
+    cfg = _cfg()
+    dims = cfg.freeze_dims(6, 12, 3, ["a", "b", "c"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    from osteosarcoma_diffusionmodel_tpu.models.networks import (
+        DiffusionDenoiser,
+    )
+
+    bits = (jax.random.uniform(jax.random.PRNGKey(1), (4, 6)) > 0.5).astype(
+        jnp.float32
+    )
+    ctx = jax.random.normal(
+        jax.random.PRNGKey(2), (4, 3 + dims.condition_dim)
+    )
+    logits = model.denoiser.apply(
+        {"params": params}, bits, ctx, method=DiffusionDenoiser.ar_logits
+    )
+    for i in range(6):
+        flipped = bits.at[:, i:].set(1.0 - bits[:, i:])
+        alt = model.denoiser.apply(
+            {"params": params}, flipped, ctx,
+            method=DiffusionDenoiser.ar_logits,
+        )
+        np.testing.assert_allclose(
+            np.asarray(alt[:, i]), np.asarray(logits[:, i]), rtol=1e-5,
+            err_msg=f"logit {i} saw a bit at column >= {i}",
+        )
+
+
+def test_ar_sample_binary_and_reproducible():
+    cfg = _cfg()
+    dims = cfg.freeze_dims(6, 12, 3, ["a", "b", "c"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    cont = jax.random.normal(jax.random.PRNGKey(1), (16, 15))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (16, dims.condition_dim))
+    bits = model.ar_sample(params, jax.random.PRNGKey(3), cont, cond)
+    assert bits.shape == (16, 6)
+    b = np.asarray(bits)
+    assert set(np.unique(b)) <= {0.0, 1.0}
+    again = model.ar_sample(params, jax.random.PRNGKey(3), cont, cond)
+    np.testing.assert_array_equal(np.asarray(again), b)
+
+
+def test_generator_ar_bits_and_calibration_interplay(rng):
+    """AR bits replace both the 0.5 threshold (raw) and the copula
+    mutation transplant (calibrated) — the mutation block is
+    model-owned in either mode."""
+    cfg = _cfg()
+    dims = cfg.freeze_dims(5, 12, 3, ["a", "b", "c"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    stats = _stats(rng, dims)
+    for calibrate in (False, "copula_joint"):
+        cfg.generation.calibrate_marginals = calibrate
+        gen = SyntheticPatientGenerator(
+            model, params, cfg, dims, data_stats=stats
+        )
+        out = gen.generate(24, {"survival_time": 800}, rng=jax.random.PRNGKey(7))
+        assert out["mutations"].shape == (24, 5)
+        assert set(np.unique(out["mutations"])) <= {0.0, 1.0}
+        assert np.isfinite(out["expression"]).all()
+
+
+def test_ar_head_recovers_block_cooccurrence(rng):
+    """The point of the feature: direct CE gradients learn the
+    pairwise couplings a diffusion-MSE channel cannot, so RAW samples
+    (no calibration) reproduce the co-occurrence pattern."""
+    import optax
+
+    from osteosarcoma_diffusionmodel_tpu.training.finetune import (
+        mutation_corr_target,
+    )
+
+    n, m = 300, 12
+    # Two blocks of co-occurring genes driven by 2 latent causes.
+    f = rng.random((n, 2)) < 0.5
+    probs = np.where(f[:, [0]], 0.75, 0.15)
+    probs2 = np.where(f[:, [1]], 0.7, 0.1)
+    mut = np.concatenate(
+        [
+            rng.random((n, m // 2)) < probs,
+            rng.random((n, m // 2)) < probs2,
+        ],
+        axis=1,
+    ).astype(np.float32)
+    cont = rng.normal(size=(n, 6)).astype(np.float32)
+    x0 = np.concatenate([mut, cont], axis=1)
+    cond = np.zeros((n, 2), np.float32)
+
+    cfg = _cfg("none")
+    cfg.model.diffusion.num_steps = 16
+    dims = cfg.freeze_dims(m, 6, 0, ["a", "b"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), 2)
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, k):
+        def lf(pp):
+            loss, _ = model.loss(
+                pp, jnp.asarray(x0), jnp.asarray(cond), k,
+                deterministic=True,
+            )
+            return loss
+
+        loss, g = jax.value_and_grad(lf)(p)
+        up, s2 = opt.update(g, s)
+        return optax.apply_updates(p, up), s2, loss
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(300):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+
+    stats = {
+        "data_matrix": x0,
+        "mutation_matrix": mut,
+        "mutation_freq": mut.mean(axis=0),
+        "feature_mean": x0.mean(axis=0),
+        "feature_std": x0.std(axis=0),
+        "feature_sorted": np.sort(x0, axis=0),
+    }
+    cfg.generation.calibrate_marginals = False  # RAW model output
+    gen = SyntheticPatientGenerator(model, params, cfg, dims, data_stats=stats)
+    out = gen.generate(2000, {}, rng=jax.random.PRNGKey(9))
+    synth_corr = mutation_corr_target(out["mutations"])
+    real_corr = mutation_corr_target(mut)
+    iu = np.triu_indices(m, k=1)
+    cc = np.corrcoef(np.asarray(real_corr)[iu], np.asarray(synth_corr)[iu])[0, 1]
+    assert cc > 0.5, f"raw co-occurrence correlation {cc:.3f}"
+    # Marginal frequencies track the data too (CE owns them directly).
+    np.testing.assert_allclose(
+        np.asarray(out["mutations"]).mean(axis=0), mut.mean(axis=0),
+        atol=0.12,
+    )
+
+
+def test_ar_config_roundtrip(tmp_path):
+    cfg = _cfg("continuous")
+    cfg.model.diffusion.ar_l2 = 3e-4
+    cfg.to_yaml(tmp_path / "c.yaml")
+    back = Config.from_yaml(tmp_path / "c.yaml")
+    assert back.model.diffusion.ar_mutation_head is True
+    assert back.model.diffusion.ar_context == "continuous"
+    assert back.model.diffusion.ar_l2 == 3e-4
