@@ -160,8 +160,22 @@ class DiffusionConfig:
     # pathway block through the context MLP), "none" (scenario only).
     ar_context: str = "pathways"
     ar_context_hidden: int = 64
-    # Explicit L2 shrinkage on the coupling matrix W.
-    ar_l2: float = 1e-4
+    # Explicit L2 shrinkage on the coupling matrix W. NOTE the scale:
+    # the AR CE term is a per-ELEMENT mean (divided by M genes), so an
+    # absolute l2 here bites ~M times harder relative to the CE signal
+    # than under the per-patient-NLL convention. Measured on the n=400
+    # fixture (per-patient scale): <= 1e-3 is free, 1e-2 costs ~0.08
+    # chi2 pattern corr — 1e-5 here ~= 6e-4 per-patient at M=62.
+    ar_l2: float = 1e-5
+    # Learning rate of the AR head's dedicated optimizer branch. The AR
+    # params (coupling/bias/context MLP) are a per-pair logistic
+    # regression, disjoint from the denoiser: they train under a plain
+    # Adam at this constant rate — no AdamW weight decay (which shrinks
+    # W toward 0 regardless of the CE signal) and no plateau-LR
+    # coupling (the plateau tracks the diffusion-dominated val loss and
+    # measured-collapsed the shared LR to 1e-15 by epoch ~300 at n=400,
+    # freezing |W| at ~0.025 vs the ~0.25 a converged fit reaches).
+    ar_lr: float = 1e-2
 
 
 @dataclass

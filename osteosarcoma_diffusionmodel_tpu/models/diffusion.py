@@ -162,10 +162,17 @@ class ConditionalDiffusion:
     ar_head: bool = False
     ar_context: str = "pathways"  # pathways | continuous | none
     ar_ce_weight: float = 1.0
-    # Explicit L2 on the coupling matrix (on top of any optimizer
-    # weight decay): 62*61/2 pairwise params against n=100-400 real
-    # cohorts want tunable shrinkage.
-    ar_l2: float = 1e-4
+    # Explicit L2 on the coupling matrix — the AR params' ONLY
+    # shrinkage (their optimizer branch is plain Adam, no weight
+    # decay): 62*61/2 pairwise params against n=100-400 real cohorts
+    # want tunable shrinkage. Scale note: the CE term is a per-element
+    # mean, so this absolute l2 is ~M times stronger relative to the
+    # CE signal than the per-patient-NLL convention (config.py).
+    ar_l2: float = 1e-5
+    # Constant LR of the AR params' dedicated Adam branch
+    # (trainer.py: no AdamW decay, plateau-immune — both measured to
+    # freeze |W| ~10x below convergence when shared, DEMO_AR_RAW).
+    ar_lr: float = 1e-2
     pathway_dim: int = 0
 
     # ------------------------------------------------------------------
@@ -288,6 +295,7 @@ class ConditionalDiffusion:
             ar_context=mc.diffusion.ar_context,
             ar_ce_weight=mc.diffusion.ar_ce_weight,
             ar_l2=mc.diffusion.ar_l2,
+            ar_lr=mc.diffusion.ar_lr,
             pathway_dim=dims.pathway_dim,
         )
 

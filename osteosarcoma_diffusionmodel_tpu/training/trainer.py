@@ -113,6 +113,8 @@ def _walk_lr_state(opt_state, visit):
             return children
         if isinstance(node, list):
             return [walk(c) for c in node]
+        if isinstance(node, dict):  # multi_transform inner_states
+            return {k: walk(v) for k, v in node.items()}
         return node
 
     new_state = walk(opt_state)
@@ -209,13 +211,45 @@ class Trainer:
                 params,
             )
 
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(tc.grad_clip_norm),
-            optax.inject_hyperparams(optax.adamw, static_args=("mask",))(
-                learning_rate=tc.learning_rate, weight_decay=tc.weight_decay,
-                mask=_decay_mask,
-            ),
+        main_tx = optax.inject_hyperparams(optax.adamw, static_args=("mask",))(
+            learning_rate=tc.learning_rate, weight_decay=tc.weight_decay,
+            mask=_decay_mask,
         )
+        if getattr(model, "ar_head", False):
+            # The AR mutation head is a per-pair logistic regression
+            # riding in the same param tree: its CE gradients are
+            # disjoint from the denoiser's, but sharing AdamW it
+            # measurably never converges — weight decay shrinks W
+            # toward 0 independent of the CE signal, and the plateau
+            # schedule (tracking the diffusion-dominated val loss)
+            # collapses the shared LR long before the couplings are
+            # fit (|W| froze at ~0.025 vs ~0.25 converged, chi2
+            # pattern 0.13 vs 0.88 — DEMO_AR_RAW round 3). Route the
+            # ar_* params through a dedicated plain-Adam branch at a
+            # constant ar_lr: no decay, plateau-immune. The global
+            # grad clip stays shared (AR grads are per-element-mean
+            # scaled, tiny next to the diffusion grads).
+            def _ar_labels(params):
+                out = {}
+                for k, v in params.items():
+                    label = "ar" if str(k).startswith("ar_") else "main"
+                    out[k] = jax.tree_util.tree_map(lambda _: label, v)
+                return out
+
+            self.tx = optax.chain(
+                optax.clip_by_global_norm(tc.grad_clip_norm),
+                optax.multi_transform(
+                    {
+                        "main": main_tx,
+                        "ar": optax.adam(model.ar_lr),
+                    },
+                    _ar_labels,
+                ),
+            )
+        else:
+            self.tx = optax.chain(
+                optax.clip_by_global_norm(tc.grad_clip_norm), main_tx
+            )
 
         # Init model state.
         init_rng = jax.random.PRNGKey(tc.random_seed)

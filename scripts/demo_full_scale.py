@@ -83,6 +83,8 @@ def main():
         cfg.model.diffusion.ar_mutation_head = True
     if "DEMO_AR_CONTEXT" in os.environ:  # pathways | continuous | none
         cfg.model.diffusion.ar_context = os.environ["DEMO_AR_CONTEXT"]
+    if "DEMO_AR_LR" in os.environ:  # AR branch constant Adam LR
+        cfg.model.diffusion.ar_lr = float(os.environ["DEMO_AR_LR"])
     if "DEMO_AR_L2" in os.environ:
         cfg.model.diffusion.ar_l2 = float(os.environ["DEMO_AR_L2"])
     if os.environ.get("DEMO_FINETUNE"):  # sample-path fine-tune (STEP 4b)

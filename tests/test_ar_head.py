@@ -247,3 +247,68 @@ def test_ar_config_roundtrip(tmp_path):
     assert back.model.diffusion.ar_mutation_head is True
     assert back.model.diffusion.ar_context == "continuous"
     assert back.model.diffusion.ar_l2 == 3e-4
+
+
+def test_ar_optimizer_branch_is_plateau_immune(tmp_path):
+    """The AR params train under a dedicated plain-Adam branch: no
+    AdamW weight decay, immune to the plateau LR (which, shared,
+    measurably froze |W| ~10x below convergence — DEMO_AR_RAW r3)."""
+    import numpy as np
+
+    from osteosarcoma_diffusionmodel_tpu.data.dataset import (
+        OsteosarcomaArrays,
+    )
+    from osteosarcoma_diffusionmodel_tpu.training.trainer import (
+        Trainer,
+        _get_learning_rate,
+        _set_learning_rate,
+        build_model,
+    )
+
+    rng = np.random.default_rng(0)
+    m_dim, e_dim, p_dim = 6, 20, 4
+    cfg = _cfg()
+    cfg.model.diffusion.num_steps = 8
+    cfg.training.batch_size = 8
+    cfg.training.num_epochs = 2
+    cfg.training.save_dir = str(tmp_path / "ckpt")
+    dims = cfg.freeze_dims(m_dim, e_dim, p_dim, ["a", "b", "c"])
+    data = rng.normal(size=(40, dims.data_dim)).astype(np.float32)
+    data[:, :m_dim] = (data[:, :m_dim] > 0).astype(np.float32)
+    arrays = OsteosarcomaArrays(
+        data=data,
+        conditions=rng.normal(size=(40, 3)).astype(np.float32),
+        survival=rng.uniform(100, 2000, size=40).astype(np.float32),
+        sample_ids=[f"P{i}" for i in range(40)],
+        mutation_genes=[f"M{i}" for i in range(m_dim)],
+        expression_genes=[f"E{i}" for i in range(e_dim)],
+        pathway_names=[f"PW{i}" for i in range(p_dim)],
+        condition_names=["a", "b", "c"],
+    )
+    model = build_model(cfg, dims)
+    trainer = Trainer(model, arrays, dims, cfg)
+
+    # The plateau LR getter/setter must still find exactly one injected
+    # learning rate inside the multi_transform state.
+    trainer.opt_state = _set_learning_rate(trainer.opt_state, 1e-15)
+    assert _get_learning_rate(trainer.opt_state) == pytest.approx(1e-15)
+
+    # With the main branch LR collapsed, the AR params must still move.
+    w0 = np.asarray(trainer.params["ar_coupling"]).copy()
+    d0 = jax.tree_util.tree_leaves(trainer.params["enc_0"])[0].copy()
+    batch = (
+        jnp.asarray(data[:8]),
+        jnp.asarray(arrays.conditions[:8]),
+        jnp.zeros((8,), jnp.float32),
+    )
+    p, o = trainer.params, trainer.opt_state
+    for i in range(5):
+        p, o, _, _ = trainer._train_step(
+            p, o, trainer.batch_stats, *batch, jax.random.PRNGKey(i)
+        )
+    moved_ar = np.abs(np.asarray(p["ar_coupling"]) - w0).max()
+    moved_main = np.abs(
+        np.asarray(jax.tree_util.tree_leaves(p["enc_0"])[0]) - d0
+    ).max()
+    assert moved_ar > 1e-4, f"AR branch frozen by plateau LR ({moved_ar})"
+    assert moved_main < 1e-9, f"main branch not at collapsed LR ({moved_main})"
