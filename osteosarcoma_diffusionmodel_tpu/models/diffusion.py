@@ -551,6 +551,7 @@ class ConditionalDiffusion:
             ce = jnp.mean(bernoulli_cross_entropy(mut_logits, mut0))
             metrics["mutation_ce"] = ce
             total = total + self.discrete_ce_weight * ce
+        ar_term = jnp.float32(0.0)
         if self.ar_head and self.mutation_dim > 0:
             # Teacher-forced FVSBN cross-entropy on the CLEAN bits —
             # the direct pairwise-coupling gradient channel. Gradients
@@ -566,11 +567,12 @@ class ConditionalDiffusion:
             )
             ar_ce = jnp.mean(bernoulli_cross_entropy(ar_logits, x0[:, :Ma]))
             metrics["ar_ce"] = ar_ce
-            total = total + self.ar_ce_weight * ar_ce
+            ar_term = self.ar_ce_weight * ar_ce
             if self.ar_l2 > 0:
-                total = total + self.ar_l2 * jnp.sum(
+                ar_term = ar_term + self.ar_l2 * jnp.sum(
                     params["ar_coupling"] ** 2
                 )
+            total = total + ar_term
 
         x0_pred = None
         cont_x0_pred = None
@@ -644,6 +646,18 @@ class ConditionalDiffusion:
             )
 
         metrics["loss"] = total
+        # Selection loss: what plateau-LR / early-stopping / best-
+        # checkpoint tracking watch (trainer.py). Excludes the AR
+        # head's CE+L2: those params train under a dedicated constant-
+        # LR Adam branch and (1891 pairwise couplings on ~320 rows)
+        # their val CE is EXPECTED to rise from overfit long before
+        # the denoiser peaks — selecting on the sum snapshots an
+        # undertrained diffusion model (measured: DEMO_AR_RAW rerun,
+        # near-mean samples, freq corr 0.99 -> 0.53). The AR chi2
+        # pattern itself is overfit-robust (0.877 at 6000 standalone
+        # steps), so best-at-diffusion-optimum carries converged
+        # couplings.
+        metrics["sel_loss"] = total - ar_term
         return total, metrics
 
     # ------------------------------------------------------------------

@@ -456,23 +456,35 @@ class Trainer:
                 if val_groups:
                     val_rng = jax.random.fold_in(epoch_rng, 999)
                     vlosses = []
+                    vsels = []
                     for gidx, offset in val_groups:
                         data, cond, surv = self._in_graph_gather(gidx)
-                        vloss, _ = self._loss_with_aux(
+                        vloss, (vmet, _) = self._loss_with_aux(
                             params, batch_stats, (data, cond, surv),
                             jax.random.fold_in(val_rng, offset), False,
                         )
                         vlosses.append(vloss)
+                        # Selection loss: the total minus terms owned
+                        # by side heads with their own optimizer branch
+                        # (AR CE+L2) — their expected val overfit must
+                        # not drag plateau/best toward an undertrained
+                        # denoiser (models/diffusion.py sel_loss note).
+                        vsels.append(vmet.get("sel_loss", vloss))
                     val_loss = jnp.mean(jnp.stack(vlosses))
+                    val_sel = jnp.mean(jnp.stack(vsels))
                 else:
                     val_loss = train_loss
+                    val_sel = train_loss
                 val_loss = jnp.where(
                     jnp.isnan(val_loss), train_loss, val_loss
                 )
+                val_sel = jnp.where(
+                    jnp.isnan(val_sel), train_loss, val_sel
+                )
 
                 # Plateau LR (PlateauLR.step logic, on device).
-                improved = val_loss < p_best
-                p_best = jnp.minimum(p_best, val_loss)
+                improved = val_sel < p_best
+                p_best = jnp.minimum(p_best, val_sel)
                 p_count = jnp.where(improved, 0, p_count + 1)
                 reduce = p_count > patience
                 lr = jnp.where(reduce, lr * factor, lr)
@@ -480,7 +492,7 @@ class Trainer:
                 opt_state = _set_learning_rate(opt_state, lr)
 
                 # Best-checkpoint tracking (exact, per epoch).
-                is_best = val_loss < best_val
+                is_best = val_sel < best_val
                 best_params = jax.tree_util.tree_map(
                     lambda b, p: jnp.where(is_best, p, b), best_params, params
                 )
@@ -488,18 +500,18 @@ class Trainer:
                     lambda b, p: jnp.where(is_best, p, b), best_bs,
                     batch_stats,
                 )
-                best_val = jnp.where(is_best, val_loss, best_val)
+                best_val = jnp.where(is_best, val_sel, best_val)
 
                 carry = (params, opt_state, batch_stats, best_params,
                          best_bs, best_val, lr, p_best, p_count)
-                return carry, (train_loss, val_loss)
+                return carry, (train_loss, val_loss, val_sel)
 
             carry = (params, opt_state, batch_stats, best_params, best_bs,
                      best_val, lr, p_best, p_count)
-            carry, (train_losses, val_losses) = jax.lax.scan(
+            carry, (train_losses, val_losses, val_sels) = jax.lax.scan(
                 epoch_body, carry, (batch_indices, epoch_rngs)
             )
-            return carry + (train_losses, val_losses)
+            return carry + (train_losses, val_losses, val_sels)
 
         return block
 
@@ -556,12 +568,16 @@ class Trainer:
             total += float(metrics["loss"])
         return total / n_batches
 
-    def validate(self, rng: jax.Array) -> float:
+    def validate(self, rng: jax.Array) -> Tuple[float, float]:
+        """Returns (val_loss, selection_loss): the full objective for
+        the history log, and the side-head-free selection metric that
+        drives plateau/early-stop/best (models/diffusion.py sel_loss
+        note). Identical when no AR head is configured."""
         if len(self.val_idx) == 0:
-            return float("nan")
+            return float("nan"), float("nan")
         tc = self.config.training
         batch_size = tc.batch_size
-        total, n = 0.0, 0
+        total, sel, n = 0.0, 0.0, 0
         for b in range(0, len(self.val_idx), batch_size):
             batch_idx = self.val_idx[b : b + batch_size]
             data, cond, surv = self._gather_batch(batch_idx)
@@ -570,8 +586,9 @@ class Trainer:
                 jax.random.fold_in(rng, b),
             )
             total += float(metrics["loss"])
+            sel += float(metrics.get("sel_loss", metrics["loss"]))
             n += 1
-        return total / max(n, 1)
+        return total / max(n, 1), sel / max(n, 1)
 
     # ------------------------------------------------------------------
     def state_dict(self, epoch: int, val_loss: float) -> Dict[str, Any]:
@@ -657,12 +674,14 @@ class Trainer:
 
             t0 = time.perf_counter()
             (self.params, self.opt_state, self.batch_stats, best_params,
-             best_bs, best_val, lr, p_best, p_count, tl, vl) = block_fns[E](
+             best_bs, best_val, lr, p_best, p_count, tl, vl,
+             vs) = block_fns[E](
                 self.params, self.opt_state, self.batch_stats, best_params,
                 best_bs, best_val, lr, p_best, p_count,
                 jnp.asarray(perm_idx), epoch_rngs,
             )
-            tl, vl = np.asarray(tl), np.asarray(vl)  # one host sync
+            # One host sync; vs = selection losses (AR terms excluded).
+            tl, vl, vs = np.asarray(tl), np.asarray(vl), np.asarray(vs)
             dt = time.perf_counter() - t0
             total_steps += n_batches * E
 
@@ -680,7 +699,7 @@ class Trainer:
             bv = float(best_val)
             if bv < global_best:
                 global_best = bv
-                e_best = epoch + int(np.argmin(vl))
+                e_best = epoch + int(np.argmin(vs))
                 self.checkpoints.save(
                     BEST_NAME,
                     {
@@ -699,7 +718,7 @@ class Trainer:
                 )
 
             for i in range(E):
-                self.early_stopping(float(vl[i]))
+                self.early_stopping(float(vs[i]))
                 if self.early_stopping.early_stop:
                     logger.info(
                         "Early stopping at epoch %d (block granularity: "
@@ -747,9 +766,13 @@ class Trainer:
             epoch_rng = jax.random.fold_in(rng, epoch)
             t0 = time.perf_counter()
             train_loss = self.train_epoch(epoch, epoch_rng)
-            val_loss = self.validate(jax.random.fold_in(epoch_rng, 999))
+            val_loss, val_sel = self.validate(
+                jax.random.fold_in(epoch_rng, 999)
+            )
             if val_loss != val_loss:  # no val samples: fall back to train loss
                 val_loss = train_loss
+            if val_sel != val_sel:
+                val_sel = train_loss
             dt = time.perf_counter() - t0
 
             self.history.train_loss.append(train_loss)
@@ -763,21 +786,22 @@ class Trainer:
                     epoch + 1, tc.num_epochs, train_loss, val_loss, dt,
                 )
 
-            # Plateau LR on val loss.
+            # Plateau LR on the selection loss (side-head terms
+            # excluded — see validate()).
             prev_lr = self.plateau.lr
-            new_lr = self.plateau.step(val_loss)
+            new_lr = self.plateau.step(val_sel)
             if new_lr != prev_lr:
                 self.opt_state = _set_learning_rate(self.opt_state, new_lr)
 
-            is_best = val_loss < best_val
+            is_best = val_sel < best_val
             if is_best:
-                best_val = val_loss
+                best_val = val_sel
             if (epoch + 1) % tc.save_frequency == 0 or is_best:
                 self.checkpoints.save_epoch(
                     epoch, self.state_dict(epoch, val_loss), is_best
                 )
 
-            self.early_stopping(val_loss)
+            self.early_stopping(val_sel)
             if self.early_stopping.early_stop:
                 logger.info("Early stopping at epoch %d", epoch + 1)
                 break

@@ -312,3 +312,35 @@ def test_ar_optimizer_branch_is_plateau_immune(tmp_path):
     ).max()
     assert moved_ar > 1e-4, f"AR branch frozen by plateau LR ({moved_ar})"
     assert moved_main < 1e-9, f"main branch not at collapsed LR ({moved_main})"
+
+
+def test_sel_loss_excludes_ar_terms():
+    """Selection loss (plateau/early-stop/best) = total minus the AR
+    CE+L2 — the AR branch's expected val overfit must not snapshot an
+    undertrained denoiser (measured regression: DEMO_AR_RAW rerun,
+    freq corr 0.99 -> 0.53 when best tracked the summed loss)."""
+    cfg = _cfg()
+    dims = cfg.freeze_dims(5, 12, 3, ["a", "b", "c"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (8, dims.data_dim))
+    x0 = x0.at[:, :5].set((x0[:, :5] > 0).astype(jnp.float32))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (8, dims.condition_dim))
+    total, metrics = model.loss(params, x0, cond, jax.random.PRNGKey(3))
+    ar_term = model.ar_ce_weight * metrics["ar_ce"] + model.ar_l2 * jnp.sum(
+        params["ar_coupling"] ** 2
+    )
+    np.testing.assert_allclose(
+        float(metrics["sel_loss"]), float(total - ar_term), rtol=1e-6
+    )
+    assert float(metrics["sel_loss"]) < float(metrics["loss"])
+
+    # Without the AR head the two metrics are identical.
+    cfg2 = _cfg()
+    cfg2.model.diffusion.ar_mutation_head = False
+    model2 = ConditionalDiffusion.from_config(cfg2, dims)
+    params2 = model2.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    total2, metrics2 = model2.loss(params2, x0, cond, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(
+        float(metrics2["sel_loss"]), float(metrics2["loss"]), rtol=0
+    )
