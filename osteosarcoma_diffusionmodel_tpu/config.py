@@ -176,6 +176,15 @@ class DiffusionConfig:
     # measured-collapsed the shared LR to 1e-15 by epoch ~300 at n=400,
     # freezing |W| at ~0.025 vs the ~0.25 a converged fit reaches).
     ar_lr: float = 1e-2
+    # L2 on the context-MLP weights (fc1/fc2 kernels). The couplings'
+    # ar_l2 does NOT cover these, and unregularized they memorize the
+    # train rows through the 32->64->62 MLP: measured on the n=400
+    # fixture replay (scripts/replay_ar.py), ctx_l2=0 drives train CE
+    # to 0.03 / val CE to 20+ and costs ~0.2 chi2 pattern corr
+    # (0.885 -> 0.69); 1e-2 restores the couplings-only optimum while
+    # leaving the context term free to carry whatever cross-block
+    # signal the cohort actually supports.
+    ar_ctx_l2: float = 1e-2
 
 
 @dataclass

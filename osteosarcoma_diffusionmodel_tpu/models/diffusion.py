@@ -169,6 +169,10 @@ class ConditionalDiffusion:
     # mean, so this absolute l2 is ~M times stronger relative to the
     # CE signal than the per-patient-NLL convention (config.py).
     ar_l2: float = 1e-5
+    # L2 on the context-MLP kernels — ar_l2 covers only the couplings,
+    # and the unregularized MLP memorizes n<=400 train rows (measured:
+    # val CE 20+, ~0.2 chi2 pattern corr lost — scripts/replay_ar.py).
+    ar_ctx_l2: float = 1e-2
     # Constant LR of the AR params' dedicated Adam branch
     # (trainer.py: no AdamW decay, plateau-immune — both measured to
     # freeze |W| ~10x below convergence when shared, DEMO_AR_RAW).
@@ -295,6 +299,7 @@ class ConditionalDiffusion:
             ar_context=mc.diffusion.ar_context,
             ar_ce_weight=mc.diffusion.ar_ce_weight,
             ar_l2=mc.diffusion.ar_l2,
+            ar_ctx_l2=mc.diffusion.ar_ctx_l2,
             ar_lr=mc.diffusion.ar_lr,
             pathway_dim=dims.pathway_dim,
         )
@@ -465,6 +470,8 @@ class ConditionalDiffusion:
         conditions: jnp.ndarray,
         rng: jax.Array,
         deterministic: bool = False,
+        ar_x0: jnp.ndarray | None = None,
+        ar_conditions: jnp.ndarray | None = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Noise-prediction loss, optionally + biological constraints.
 
@@ -472,6 +479,14 @@ class ConditionalDiffusion:
         t ~ U[0, T), q_sample, predict noise, elementwise loss. With
         `discrete_head`, the mutation block instead goes through the
         binary D3PM forward chain and contributes an x0 BCE term.
+
+        ``ar_x0`` / ``ar_conditions``: the UNAUGMENTED batch for the AR
+        head's teacher-forced CE (defaults to ``x0``/``conditions``).
+        The trainer passes the pre-mixup rows — mixup's convex patient
+        combinations are a useful denoiser regularizer but destroy the
+        pairwise bit structure the FVSBN couplings must estimate
+        (measured ~0.1 chi2 pattern corr on the n=400 fixture,
+        scripts/replay_ar.py joint_condition_ablation).
         """
         batch = x0.shape[0]
         M = self.mutation_dim if self.discrete_head else 0
@@ -559,18 +574,25 @@ class ConditionalDiffusion:
             # joint training with the diffusion loss is interference-
             # free.
             Ma = self.mutation_dim
+            ar_src = x0 if ar_x0 is None else ar_x0
+            ar_cond = clin_conditions if ar_conditions is None else ar_conditions
             ar_logits = self.denoiser.apply(
                 {"params": params},
-                x0[:, :Ma],
-                self._ar_context_view(x0[:, Ma:], clin_conditions),
+                ar_src[:, :Ma],
+                self._ar_context_view(ar_src[:, Ma:], ar_cond),
                 method=DiffusionDenoiser.ar_logits,
             )
-            ar_ce = jnp.mean(bernoulli_cross_entropy(ar_logits, x0[:, :Ma]))
+            ar_ce = jnp.mean(bernoulli_cross_entropy(ar_logits, ar_src[:, :Ma]))
             metrics["ar_ce"] = ar_ce
             ar_term = self.ar_ce_weight * ar_ce
             if self.ar_l2 > 0:
                 ar_term = ar_term + self.ar_l2 * jnp.sum(
                     params["ar_coupling"] ** 2
+                )
+            if self.ar_ctx_l2 > 0:
+                ar_term = ar_term + self.ar_ctx_l2 * (
+                    jnp.sum(params["ar_ctx_fc1"]["kernel"] ** 2)
+                    + jnp.sum(params["ar_ctx_fc2"]["kernel"] ** 2)
                 )
             total = total + ar_term
 

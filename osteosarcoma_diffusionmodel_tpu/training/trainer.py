@@ -306,15 +306,23 @@ class Trainer:
                 )
 
     # ------------------------------------------------------------------
-    def _loss_with_aux(self, params, batch_stats, batch, rng, train: bool):
+    def _loss_with_aux(
+        self, params, batch_stats, batch, rng, train: bool, ar_batch=None
+    ):
         data, cond, surv = batch
         if self.is_vae:
             loss, metrics, new_bs = self.model.loss(
                 params, batch_stats, data, cond, surv, rng, train=train
             )
             return loss, (metrics, new_bs)
+        ar_kw = {}
+        if ar_batch is not None and getattr(self.model, "ar_head", False):
+            # The AR head's teacher-forced CE sees the raw rows, not
+            # the mixup/pathway-noise-augmented ones (diffusion.loss
+            # ar_x0 docstring).
+            ar_kw = {"ar_x0": ar_batch[0], "ar_conditions": ar_batch[1]}
         loss, metrics = self.model.loss(
-            params, data, cond, rng, deterministic=not train
+            params, data, cond, rng, deterministic=not train, **ar_kw
         )
         return loss, (metrics, batch_stats)
 
@@ -328,6 +336,7 @@ class Trainer:
 
         def step(params, opt_state, batch_stats, data, cond, surv, rng):
             mix_rng, noise_rng, loss_rng = jax.random.split(rng, 3)
+            raw_batch = (data, cond)  # pre-augmentation rows for the AR CE
             if mixup_alpha > 0:
                 data, cond, surv = mixup(mix_rng, data, cond, surv, mixup_alpha)
             if pathway_noise > 0:
@@ -338,7 +347,10 @@ class Trainer:
 
             (loss, (metrics, new_bs)), grads = jax.value_and_grad(
                 self._loss_with_aux, has_aux=True
-            )(params, batch_stats, (data, cond, surv), loss_rng, True)
+            )(
+                params, batch_stats, (data, cond, surv), loss_rng, True,
+                raw_batch,
+            )
             updates, new_opt = self.tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt, new_bs, metrics

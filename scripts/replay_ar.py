@@ -1,0 +1,304 @@
+#!/usr/bin/env python3
+"""Host-side FVSBN (AR mutation head) ceiling study.
+
+The joint-trained AR head (diffusion.ar_mutation_head) measured raw
+co-occurrence pattern correlation 0.134 at n=400/62 genes
+(DEMO_AR_RAW.json) — the best model-owned result of the six
+joint-structure candidates, but below the 0.5 target. This script
+answers, in ~minutes of pure-CPU compute instead of 45-minute TPU
+pipeline runs: what co-occurrence pattern correlation can the SAME
+FVSBN parameterization (strictly-lower-triangular couplings + bias +
+zero-init context MLP, models/networks.py:135-177) reach when fit
+directly by full-batch Adam on the same 320-row train split — i.e. is
+0.134 the statistical ceiling of an L2-shrunk FVSBN at this n, or a
+joint-training integration loss?
+
+Protocol (mirrors scripts/demo_full_scale.py DEMO_N=400 exactly):
+  - same fixture (make_dummy_data seed 0, 62/5054/26), same
+    train/val split (train_val_split(400, 0.2, seed)), same
+    validator metric (chi2_binary_pairs + pearson_corr on the seeded
+    50-gene pair sample), same CE + ar_l2 * sum(W^2) objective.
+  - sampling contexts: bootstrap-resampled REAL [pathways|conds] rows
+    (the upper bound — the pipeline feeds the diffusion's sampled
+    continuous block) and a no-context variant (couplings only).
+  - baselines: independent-Bernoulli (chi2 corr ~ 0 expected) and a
+    bootstrap of the real bits themselves (the 10k-vs-400 metric
+    noise ceiling, ~1).
+
+Sweeps AR_L2 (env, comma list) x context mode; writes
+results/replay_ar.json and prints one line per cell.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+# The axon TPU plugin's sitecustomize force-appends its platform to
+# jax_platforms at interpreter start (see tests/conftest.py) — during a
+# tunnel outage that leaves the process retry-sleeping on backend init.
+# This study is pure CPU by design; pin it after import.
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+from osteosarcoma_diffusionmodel_tpu.cli import (  # noqa: E402
+    compute_pathway_features,
+)
+from osteosarcoma_diffusionmodel_tpu.config import Config  # noqa: E402
+from osteosarcoma_diffusionmodel_tpu.data.dataset import (  # noqa: E402
+    make_dummy_data,
+    prepare_arrays,
+    train_val_split,
+)
+from osteosarcoma_diffusionmodel_tpu.ops.stats import (  # noqa: E402
+    chi2_binary_pairs,
+    pearson_corr,
+)
+
+M = 62  # mutation genes
+
+
+def validator_pairs(n_genes: int, max_genes: int = 50, seed: int = 0):
+    """The exact pair sample BiologicalValidator uses
+    (validation/validator.py:141-152)."""
+    rng = np.random.default_rng(seed)
+    n_sample = min(max_genes, n_genes)
+    sample_idx = rng.choice(n_genes, size=n_sample, replace=False)
+    pi = [int(sample_idx[i]) for i in range(n_sample) for j in range(i + 1, n_sample)]
+    pj = [int(sample_idx[j]) for i in range(n_sample) for j in range(i + 1, n_sample)]
+    return jnp.asarray(pi), jnp.asarray(pj)
+
+
+def chi2_corr(real_bits, synth_bits, pi, pj) -> float:
+    return float(
+        pearson_corr(
+            chi2_binary_pairs(jnp.asarray(real_bits, jnp.float32), pi, pj),
+            chi2_binary_pairs(jnp.asarray(synth_bits, jnp.float32), pi, pj),
+        )
+    )
+
+
+def freq_corr(real_bits, synth_bits) -> float:
+    return float(np.corrcoef(real_bits.mean(0), synth_bits.mean(0))[0, 1])
+
+
+def init_params(rng, ctx_dim, hidden=64):
+    kw, kb, k1, k2 = jax.random.split(rng, 4)
+    return {
+        "W": 0.01 * jax.random.normal(kw, (M, M)),
+        "b": jnp.zeros((M,)),
+        # context MLP: fc1 (lecun-normal-ish) -> tanh-free SiLU? The
+        # model uses Dense+activation inside ar_context_logits; zero-init
+        # output layer so context starts silent (networks.py:170-177).
+        "c1": jax.random.normal(k1, (ctx_dim, hidden)) / np.sqrt(ctx_dim),
+        "c1b": jnp.zeros((hidden,)),
+        "c2": jnp.zeros((hidden, M)),
+        "c2b": jnp.zeros((M,)),
+    }
+
+
+def ar_logits(params, bits, ctx):
+    mask = jnp.tril(jnp.ones((M, M)), -1)
+    h = jax.nn.silu(ctx @ params["c1"] + params["c1b"])
+    ctx_logits = h @ params["c2"] + params["c2b"]
+    return bits @ (params["W"] * mask).T + params["b"] + ctx_logits
+
+
+def ce_loss(params, bits, ctx, l2, ctx_l2=0.0):
+    logits = ar_logits(params, bits, ctx)
+    ce = jnp.mean(
+        jnp.maximum(logits, 0) - logits * bits + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    reg = l2 * jnp.sum(params["W"] ** 2) + ctx_l2 * (
+        jnp.sum(params["c1"] ** 2) + jnp.sum(params["c2"] ** 2)
+    )
+    return ce + reg, ce
+
+
+def fit(bits_tr, ctx_tr, bits_va, ctx_va, l2, ctx_l2=0.0, lr=1e-2,
+        steps=6000, seed=0, mixup_alpha=0.0, batch=0):
+    """Fixed-budget full-batch Adam — FINAL params, no best-val
+    snapshot. Joint training gives the AR branch its ~6000 constant-LR
+    steps and snapshots at the DENOISER's best epoch (late under
+    plateau-LR), so final-params is the honest analogue; the first
+    study pass showed best-val-CE snapshotting freezes a barely-past-
+    init checkpoint once the unregularized context MLP overfits
+    (train CE stuck at the 0.663 independence level, chi2 ~ 0)."""
+    params = init_params(jax.random.PRNGKey(seed), ctx_tr.shape[1])
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+    val_fn = jax.jit(lambda p: ce_loss(p, bits_va, ctx_va, 0.0)[1])
+    tr_fn = jax.jit(lambda p: ce_loss(p, bits_tr, ctx_tr, 0.0)[1])
+    n_tr = bits_tr.shape[0]
+
+    def one_step(params, opt, key):
+        b, c = bits_tr, ctx_tr
+        if batch:
+            idx = jax.random.choice(key, n_tr, (batch,), replace=False)
+            b, c = b[idx], c[idx]
+        if mixup_alpha > 0:
+            # The trainer's mixup (data/dataset.py mixup): shared
+            # lambda ~ Beta(a, a), convex combo with a permutation —
+            # applied to the whole training vector incl. the bits the
+            # AR CE teacher-forces on.
+            lk, pk = jax.random.split(jax.random.fold_in(key, 1))
+            lam = jax.random.beta(lk, mixup_alpha, mixup_alpha)
+            perm = jax.random.permutation(pk, b.shape[0])
+            b = lam * b + (1 - lam) * b[perm]
+            c = lam * c + (1 - lam) * c[perm]
+        g = jax.grad(lambda p: ce_loss(p, b, c, l2, ctx_l2)[0])(params)
+        updates, opt = tx.update(g, opt)
+        return optax.apply_updates(params, updates), opt
+
+    @jax.jit
+    def many(params, opt, key):
+        def body(carry, k):
+            params, opt = carry
+            params, opt = one_step(params, opt, k)
+            return (params, opt), None
+        (params, opt), _ = jax.lax.scan(
+            body, (params, opt), jax.random.split(key, 100)
+        )
+        return params, opt
+
+    for i in range(steps // 100):
+        params, opt = many(params, opt, jax.random.PRNGKey(1000 + i))
+    return params, float(tr_fn(params)), float(val_fn(params))
+
+
+def sample(params, ctx, rng):
+    """Sequential FVSBN draw, mirrors ConditionalDiffusion.ar_sample."""
+    mask = jnp.tril(jnp.ones((M, M)), -1)
+    w = params["W"] * mask
+    h = jax.nn.silu(ctx @ params["c1"] + params["c1b"])
+    ctx_logits = h @ params["c2"] + params["c2b"]
+    B = ctx.shape[0]
+
+    def body(bits, inp):
+        i, key = inp
+        logit = bits @ w[i] + params["b"][i] + ctx_logits[:, i]
+        bit = jax.random.bernoulli(key, jax.nn.sigmoid(logit)).astype(jnp.float32)
+        return bits.at[:, i].set(bit), None
+
+    keys = jax.random.split(rng, M)
+    bits, _ = jax.lax.scan(body, jnp.zeros((B, M)), (jnp.arange(M), keys))
+    return np.asarray(bits)
+
+
+def main():
+    t0 = time.time()
+    n = int(os.environ.get("DEMO_N", 400))
+    workdir = Path(tempfile.mkdtemp(prefix="osdm_replay_ar_"))
+    os.chdir(workdir)
+    make_dummy_data(
+        workdir / "processed", n_samples=n,
+        n_mutation_genes=62, n_expression_genes=5054, n_pathways=26,
+    )
+    cfg = Config()
+    cfg.data.processed_dir = str(workdir / "processed")
+    compute_pathway_features(cfg)
+    arrays, dims = prepare_arrays(cfg)
+    data = np.asarray(arrays.data, np.float32)  # [mut | expr | pathways]
+    conds = np.asarray(arrays.conditions, np.float32)
+    P = dims.pathway_dim
+    bits = data[:, :M]
+    ctx_full = np.concatenate([data[:, -P:], conds], axis=1)
+
+    tr_idx, va_idx = train_val_split(n, cfg.training.val_split, cfg.training.random_seed)
+    pi, pj = validator_pairs(M)
+    n_gen = 10002
+    boot = np.random.default_rng(7).integers(0, n, size=n_gen)
+
+    results = {"n": n, "train_rows": len(tr_idx)}
+
+    # Noise ceiling: bootstrap the real bits themselves.
+    results["bootstrap_real_chi2_corr"] = chi2_corr(bits, bits[boot], pi, pj)
+    # Independence floor: per-gene Bernoulli at the real frequencies.
+    indep = (
+        np.random.default_rng(11).random((n_gen, M)) < bits.mean(0)[None, :]
+    ).astype(np.float32)
+    results["independent_chi2_corr"] = chi2_corr(bits, indep, pi, pj)
+
+    l2s = [float(x) for x in os.environ.get(
+        "AR_L2", "1e-5,1e-4,1e-3,3e-3"
+    ).split(",")]
+    ctx_l2s = [float(x) for x in os.environ.get(
+        "AR_CTX_L2", "0,1e-3,1e-2,1e-1"
+    ).split(",")]
+    cells = {}
+    for ctx_mode in ("pathways", "none"):
+        ctx = ctx_full if ctx_mode == "pathways" else np.zeros((n, 1), np.float32)
+        for l2 in l2s:
+            for ctx_l2 in ctx_l2s if ctx_mode != "none" else [0.0]:
+                params, tr_ce, va_ce = fit(
+                    jnp.asarray(bits[tr_idx]), jnp.asarray(ctx[tr_idx]),
+                    jnp.asarray(bits[va_idx]), jnp.asarray(ctx[va_idx]),
+                    l2, ctx_l2,
+                )
+                synth = sample(
+                    params, jnp.asarray(ctx[boot]), jax.random.PRNGKey(3)
+                )
+                cell = {
+                    "train_ce": tr_ce,
+                    "val_ce": va_ce,
+                    "chi2_corr": chi2_corr(bits, synth, pi, pj),
+                    "freq_corr": freq_corr(bits, synth),
+                }
+                cells[f"{ctx_mode}/l2={l2:g}/ctx_l2={ctx_l2:g}"] = cell
+                print(f"{ctx_mode:9s} l2={l2:<8g} ctx_l2={ctx_l2:<8g} "
+                      f"train_ce={tr_ce:.4f} val_ce={va_ce:.4f} "
+                      f"chi2_corr={cell['chi2_corr']:.3f} "
+                      f"freq_corr={cell['freq_corr']:.3f}", flush=True)
+    results["cells"] = cells
+
+    # Joint-training-condition ablation: which integration detail costs
+    # how much chi2? (a) trainer-faithful: mixup 0.2 + batch 32 +
+    # unregularized ctx MLP — should land near the measured joint-run
+    # 0.134; (b) +ctx_l2 only; (c) -mixup only; (d) both fixes.
+    ablate = {}
+    for name, kw in {
+        "joint_faithful": dict(mixup_alpha=0.2, batch=32, ctx_l2=0.0),
+        "fix_ctx_l2": dict(mixup_alpha=0.2, batch=32, ctx_l2=1e-2),
+        "fix_mixup": dict(mixup_alpha=0.0, batch=32, ctx_l2=0.0),
+        "fix_both": dict(mixup_alpha=0.0, batch=32, ctx_l2=1e-2),
+    }.items():
+        params, tr_ce, va_ce = fit(
+            jnp.asarray(bits[tr_idx]), jnp.asarray(ctx_full[tr_idx]),
+            jnp.asarray(bits[va_idx]), jnp.asarray(ctx_full[va_idx]),
+            l2=1e-5, **kw,
+        )
+        synth = sample(params, jnp.asarray(ctx_full[boot]), jax.random.PRNGKey(3))
+        ablate[name] = {
+            "train_ce": tr_ce, "val_ce": va_ce,
+            "chi2_corr": chi2_corr(bits, synth, pi, pj),
+            "freq_corr": freq_corr(bits, synth),
+        }
+        print(f"ablate {name:16s} train_ce={tr_ce:.4f} val_ce={va_ce:.4f} "
+              f"chi2_corr={ablate[name]['chi2_corr']:.3f} "
+              f"freq_corr={ablate[name]['freq_corr']:.3f}", flush=True)
+    results["joint_condition_ablation"] = ablate
+    results["elapsed_sec"] = time.time() - t0
+
+    out = REPO / "results" / "replay_ar.json"
+    out.parent.mkdir(exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"bootstrap ceiling={results['bootstrap_real_chi2_corr']:.3f} "
+          f"independence floor={results['independent_chi2_corr']:.3f}")
+    print(f"wrote {out} in {results['elapsed_sec']:.0f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -327,8 +327,14 @@ def test_sel_loss_excludes_ar_terms():
     x0 = x0.at[:, :5].set((x0[:, :5] > 0).astype(jnp.float32))
     cond = jax.random.normal(jax.random.PRNGKey(2), (8, dims.condition_dim))
     total, metrics = model.loss(params, x0, cond, jax.random.PRNGKey(3))
-    ar_term = model.ar_ce_weight * metrics["ar_ce"] + model.ar_l2 * jnp.sum(
-        params["ar_coupling"] ** 2
+    ar_term = (
+        model.ar_ce_weight * metrics["ar_ce"]
+        + model.ar_l2 * jnp.sum(params["ar_coupling"] ** 2)
+        + model.ar_ctx_l2
+        * (
+            jnp.sum(params["ar_ctx_fc1"]["kernel"] ** 2)
+            + jnp.sum(params["ar_ctx_fc2"]["kernel"] ** 2)
+        )
     )
     np.testing.assert_allclose(
         float(metrics["sel_loss"]), float(total - ar_term), rtol=1e-6
@@ -343,4 +349,69 @@ def test_sel_loss_excludes_ar_terms():
     total2, metrics2 = model2.loss(params2, x0, cond, jax.random.PRNGKey(3))
     np.testing.assert_allclose(
         float(metrics2["sel_loss"]), float(metrics2["loss"]), rtol=0
+    )
+
+
+def test_ar_ce_teacher_forces_on_unaugmented_rows():
+    """loss(ar_x0=raw) must compute the AR CE on the raw rows — the
+    trainer passes the pre-mixup batch (mixup's convex patient combos
+    measurably attenuate the couplings; scripts/replay_ar.py)."""
+    cfg = _cfg()
+    dims = cfg.freeze_dims(5, 12, 3, ["a", "b", "c"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    # Non-trivial couplings/biases: at init the head is input-
+    # insensitive (W ~ 0.01 noise, zero ctx output -> CE ~ log 2 for
+    # any bits), which would make the mixed-vs-clean check vacuous.
+    params = dict(params)
+    params["ar_coupling"] = jax.random.normal(jax.random.PRNGKey(9), (5, 5))
+    params["ar_bias"] = jnp.linspace(-1.0, 1.0, 5)
+    rng = np.random.default_rng(0)
+    clean = rng.normal(size=(8, dims.data_dim)).astype(np.float32)
+    clean[:, :5] = (clean[:, :5] > 0).astype(np.float32)
+    clean = jnp.asarray(clean)
+    cond = jnp.asarray(rng.normal(size=(8, dims.condition_dim)), jnp.float32)
+    # A mixup-style corruption of the diffusion inputs.
+    lam = 0.4
+    mixed = lam * clean + (1 - lam) * clean[::-1]
+    mixed_cond = lam * cond + (1 - lam) * cond[::-1]
+
+    key = jax.random.PRNGKey(3)
+    _, m_clean = model.loss(params, clean, cond, key)
+    _, m_routed = model.loss(
+        params, mixed, mixed_cond, key, ar_x0=clean, ar_conditions=cond
+    )
+    _, m_mixed = model.loss(params, mixed, mixed_cond, key)
+    # Routed AR CE == the clean batch's AR CE, != the mixed batch's.
+    np.testing.assert_allclose(
+        float(m_routed["ar_ce"]), float(m_clean["ar_ce"]), rtol=1e-6
+    )
+    assert abs(float(m_mixed["ar_ce"]) - float(m_clean["ar_ce"])) > 1e-4
+
+
+def test_ar_ctx_l2_regularizes_context_mlp():
+    """ar_ctx_l2 > 0 adds the context-MLP kernel norms to the loss (the
+    couplings' ar_l2 does not cover them; unregularized the MLP
+    memorizes n<=400 cohorts — replay_ar.py measured val CE 20+)."""
+    cfg = _cfg()
+    dims = cfg.freeze_dims(5, 12, 3, ["a", "b", "c"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    assert model.ar_ctx_l2 == cfg.model.diffusion.ar_ctx_l2 > 0
+
+    cfg0 = _cfg()
+    cfg0.model.diffusion.ar_ctx_l2 = 0.0
+    model0 = ConditionalDiffusion.from_config(cfg0, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (8, dims.data_dim))
+    x0 = x0.at[:, :5].set((x0[:, :5] > 0).astype(jnp.float32))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (8, dims.condition_dim))
+    key = jax.random.PRNGKey(3)
+    total_reg, _ = model.loss(params, x0, cond, key)
+    total_0, _ = model0.loss(params, x0, cond, key)
+    expected = model.ar_ctx_l2 * (
+        jnp.sum(params["ar_ctx_fc1"]["kernel"] ** 2)
+        + jnp.sum(params["ar_ctx_fc2"]["kernel"] ** 2)
+    )
+    np.testing.assert_allclose(
+        float(total_reg - total_0), float(expected), rtol=1e-5
     )
