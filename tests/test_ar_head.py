@@ -415,3 +415,77 @@ def test_ar_ctx_l2_regularizes_context_mlp():
     np.testing.assert_allclose(
         float(total_reg - total_0), float(expected), rtol=1e-5
     )
+
+
+def test_joint_training_recovers_cooccurrence_with_mixup_on(tmp_path, rng):
+    """Regression test for the mixup/ctx-overfit integration loss: the
+    FULL Trainer (mixup 0.2 default ON, dedicated AR Adam branch,
+    epoch-scan path) must recover the co-occurrence pattern raw —
+    before the ar_x0 routing + ar_ctx_l2 fixes this sat near the
+    replay-measured 0.77/0.69 degradations (scripts/replay_ar.py
+    joint_condition_ablation; dedicated-fit ceiling 0.885)."""
+    from osteosarcoma_diffusionmodel_tpu.data.dataset import (
+        OsteosarcomaArrays,
+    )
+    from osteosarcoma_diffusionmodel_tpu.training.finetune import (
+        mutation_corr_target,
+    )
+    from osteosarcoma_diffusionmodel_tpu.training.trainer import (
+        Trainer,
+        build_model,
+    )
+
+    n, m, e_dim, p_dim = 300, 12, 6, 4
+    # Two latent causes drive two co-occurring gene blocks.
+    f = rng.random((n, 2)) < 0.5
+    probs = np.where(f[:, [0]], 0.75, 0.15)
+    probs2 = np.where(f[:, [1]], 0.7, 0.1)
+    mut = np.concatenate(
+        [rng.random((n, m // 2)) < probs, rng.random((n, m // 2)) < probs2],
+        axis=1,
+    ).astype(np.float32)
+    cont = rng.normal(size=(n, e_dim + p_dim)).astype(np.float32)
+    data = np.concatenate([mut, cont], axis=1)
+
+    cfg = _cfg()
+    cfg.model.diffusion.num_steps = 8
+    cfg.training.num_epochs = 400
+    cfg.training.patience = 400  # no early stop: AR needs its steps
+    cfg.training.batch_size = 32
+    cfg.training.save_dir = str(tmp_path / "ckpt")
+    assert cfg.training.augmentation.mixup_alpha > 0  # the condition under test
+    dims = cfg.freeze_dims(m, e_dim, p_dim, ["a", "b", "c"])
+    arrays = OsteosarcomaArrays(
+        data=data,
+        conditions=rng.normal(size=(n, 3)).astype(np.float32),
+        survival=rng.uniform(100, 2000, size=n).astype(np.float32),
+        sample_ids=[f"P{i}" for i in range(n)],
+        mutation_genes=[f"M{i}" for i in range(m)],
+        expression_genes=[f"E{i}" for i in range(e_dim)],
+        pathway_names=[f"PW{i}" for i in range(p_dim)],
+        condition_names=["a", "b", "c"],
+    )
+    model = build_model(cfg, dims)
+    trainer = Trainer(model, arrays, dims, cfg)
+    trainer.train()
+
+    stats = {
+        "data_matrix": data,
+        "mutation_matrix": mut,
+        "mutation_freq": mut.mean(axis=0),
+        "feature_mean": data.mean(axis=0),
+        "feature_std": data.std(axis=0),
+        "feature_sorted": np.sort(data, axis=0),
+    }
+    cfg.generation.calibrate_marginals = False  # RAW model output
+    gen = SyntheticPatientGenerator(
+        model, trainer.params, cfg, dims, data_stats=stats
+    )
+    out = gen.generate(2000, {}, rng=jax.random.PRNGKey(9))
+    synth_corr = mutation_corr_target(out["mutations"])
+    real_corr = mutation_corr_target(mut)
+    iu = np.triu_indices(m, k=1)
+    cc = np.corrcoef(
+        np.asarray(real_corr)[iu], np.asarray(synth_corr)[iu]
+    )[0, 1]
+    assert cc > 0.5, f"joint-trained raw co-occurrence correlation {cc:.3f}"
