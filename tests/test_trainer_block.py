@@ -207,3 +207,64 @@ def test_block_resume_preserves_reduced_lr(tmp_path):
     # at (or below) the reduced value, not back at the 1e-4 base.
     assert _get_learning_rate(t2.opt_state) <= 2.5e-5 + 1e-12
     assert t2.plateau.lr <= 2.5e-5 + 1e-12
+
+
+def test_block_matches_per_epoch_loop_with_ar_head(tmp_path):
+    """The production preset (epochs_per_dispatch: 25) combined with
+    diffusion.ar_mutation_head: the block scan must carry the
+    multi-transform (main AdamW + dedicated AR Adam) state, the
+    side-head-free sel losses, AND the raw-batch AR CE routing
+    (diffusion.loss ar_x0) identically to the per-epoch loop."""
+    def setup(path):
+        model, arrays, dims, cfg = None, None, None, None
+        rng = np.random.default_rng(0)
+        m_dim, e_dim, p_dim = 6, 20, 4
+        cfg = Config()
+        cfg.model.hidden_dims = [32, 64, 32]
+        cfg.model.latent_dim = 16
+        cfg.model.diffusion.num_steps = 8
+        cfg.model.diffusion.ar_mutation_head = True
+        cfg.model.compute_dtype = "float32"
+        cfg.model.constraints.enabled = False
+        cfg.training.batch_size = 8
+        cfg.training.num_epochs = 12
+        cfg.training.save_dir = str(path / "ckpt")
+        cfg.training.val_split = 0.25
+        cfg.training.lr_plateau_patience = 2
+        cfg.training.save_frequency = 5
+        dims = cfg.freeze_dims(m_dim, e_dim, p_dim, ["a", "b", "c"])
+        data = rng.normal(size=(40, dims.data_dim)).astype(np.float32)
+        data[:, :m_dim] = (data[:, :m_dim] > 0).astype(np.float32)
+        arrays = OsteosarcomaArrays(
+            data=data,
+            conditions=rng.normal(size=(40, 3)).astype(np.float32),
+            survival=rng.uniform(100, 2000, size=40).astype(np.float32),
+            sample_ids=[f"P{i}" for i in range(40)],
+            mutation_genes=[f"M{i}" for i in range(m_dim)],
+            expression_genes=[f"E{i}" for i in range(e_dim)],
+            pathway_names=[f"PW{i}" for i in range(p_dim)],
+            condition_names=["a", "b", "c"],
+        )
+        model = build_model(cfg, dims)
+        return model, arrays, dims, cfg
+
+    model, arrays, dims, cfg = setup(tmp_path / "a")
+    t_epoch = Trainer(model, arrays, dims, cfg)
+    hist_epoch = t_epoch.train()
+
+    model_b, arrays_b, dims_b, cfg_b = setup(tmp_path / "b")
+    cfg_b.training.epochs_per_dispatch = 5
+    t_block = Trainer(model_b, arrays_b, dims_b, cfg_b)
+    hist_block = t_block.train()
+
+    np.testing.assert_allclose(
+        hist_block.train_loss, hist_epoch.train_loss, rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        hist_block.val_loss, hist_epoch.val_loss, rtol=2e-4, atol=2e-5
+    )
+    # AR couplings trained identically and actually moved from init.
+    w_e = np.asarray(t_epoch.params["ar_coupling"])
+    w_b = np.asarray(t_block.params["ar_coupling"])
+    np.testing.assert_allclose(w_b, w_e, rtol=1e-3, atol=1e-4)
+    assert np.abs(w_e).max() > 0.05, "AR couplings did not train"
