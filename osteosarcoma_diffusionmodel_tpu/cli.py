@@ -210,6 +210,14 @@ def train_model(config: Config, resume: bool = False, profile: bool = False):
                 "conditioning (the DDIM chain would need prior draws "
                 "threaded through the loss); skipping"
             )
+        elif getattr(model, "ar_head", False):
+            logger.warning(
+                "sample_path_finetune is pointless with the AR mutation "
+                "head: generation replaces the mutation scores its "
+                "co-occurrence objective tunes with the sequential AR "
+                "draw (and its shared Adam would perturb the AR branch "
+                "outside its dedicated optimizer); skipping"
+            )
         else:
             _banner("STEP 4b: Sample-path fine-tuning (differentiable DDIM)")
             import jax

@@ -300,10 +300,15 @@ class SyntheticPatientGenerator:
         samples = np.asarray(
             jax.block_until_ready(self._sample_raw(conditions, sample_rng))
         )
-        return self._postprocess(samples, conditions)
+        # fold_in (not a further split) so cond/sample key streams are
+        # unchanged for existing checkpoints/seeds; the post key makes
+        # the AR mutation draw a pure function of the caller's rng.
+        return self._postprocess(
+            samples, conditions, rng=jax.random.fold_in(rng, 424_243)
+        )
 
     def _postprocess(
-        self, samples: np.ndarray, conditions
+        self, samples: np.ndarray, conditions, rng=None
     ) -> Dict[str, np.ndarray]:
         """Calibrate (per config) and split a raw sample matrix into
         modality blocks (reference generate.py:130-144)."""
@@ -357,7 +362,7 @@ class SyntheticPatientGenerator:
             # on) continuous block + clinical scenario — model-owned
             # joint structure instead of the 0.5 threshold / copula
             # transplant above.
-            mutations = self._ar_bits(continuous, np.asarray(conditions))
+            mutations = self._ar_bits(continuous, np.asarray(conditions), rng)
         return {
             "mutations": mutations,
             "expression": continuous[:, :e],
@@ -365,22 +370,45 @@ class SyntheticPatientGenerator:
             "conditions": np.asarray(conditions),
         }
 
-    def _ar_bits(self, continuous: np.ndarray, conditions: np.ndarray):
-        """Draw the mutation bits from the AR head (jit-cached)."""
+    def _ar_bits(
+        self, continuous: np.ndarray, conditions: np.ndarray, rng=None
+    ):
+        """Draw the mutation bits from the AR head (jit-cached).
+
+        With an explicit ``rng`` the draw is a pure function of it
+        (same rng -> same cohort, generate()'s reproducibility
+        contract); the counter-folded fallback keeps direct callers'
+        per-call freshness when no key is threaded.
+
+        Only the context columns the head actually reads are shipped to
+        the device: at ar_context='pathways' that is ~26 of ~5080
+        continuous columns — the full block would be a ~2.7 GB
+        host->single-device transfer at the 131k fused-sampler cohort.
+        """
+        if rng is None:
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(self.config.training.random_seed + 977),
+                self._ar_calls,
+            )
+            self._ar_calls += 1
+        if self.model.ar_context == "pathways" and self.model.pathway_dim > 0:
+            # ar_sample's context view slices the LAST pathway_dim
+            # columns of whatever continuous block it receives, so
+            # passing just the pathway block is view-equivalent.
+            ctx_cont = continuous[:, -self.model.pathway_dim:]
+        elif self.model.ar_context == "none":
+            ctx_cont = continuous[:, :0]  # batch dim only
+        else:
+            ctx_cont = continuous
         if self._ar_fn is None:
             self._ar_fn = jax.jit(
                 lambda p, k, cont, cond: self.model.ar_sample(
                     p, k, cont, cond
                 )
             )
-        key = jax.random.fold_in(
-            jax.random.PRNGKey(self.config.training.random_seed + 977),
-            self._ar_calls,
-        )
-        self._ar_calls += 1
         bits = self._ar_fn(
-            self.params, key,
-            jnp.asarray(continuous, jnp.float32),
+            self.params, rng,
+            jnp.asarray(ctx_cont, jnp.float32),
             jnp.asarray(conditions, jnp.float32),
         )
         return np.asarray(bits, np.float32)
@@ -620,7 +648,9 @@ class SyntheticPatientGenerator:
                 self._sample_raw(all_cond, jax.random.fold_in(rng, 10_000))
             )
         )
-        combined = self._postprocess(samples, all_cond)
+        combined = self._postprocess(
+            samples, all_cond, rng=jax.random.fold_in(rng, 10_001)
+        )
         results = {}
         for i, scenario in enumerate(scenarios):
             sl = slice(i * samples_per_scenario, (i + 1) * samples_per_scenario)

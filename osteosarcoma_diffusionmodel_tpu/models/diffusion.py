@@ -218,6 +218,21 @@ class ConditionalDiffusion:
                 "ar_mutation_head and discrete_mutation_head are mutually "
                 "exclusive owners of the mutation block"
             )
+        if (
+            mc.diffusion.low_rank_sigma_dim > 0
+            and mc.diffusion.low_rank_sigma_scope == "mutations"
+            and mc.diffusion.ar_mutation_head
+            and dims.mutation_dim > 0
+        ):
+            # Same silent-no-op class as the discrete-head conflict
+            # above: the AR draw replaces the sampled mutation scores at
+            # generation, so a mutations-scoped correlated-noise channel
+            # can never reach the output bits.
+            raise ValueError(
+                "low_rank_sigma_scope='mutations' is incompatible with "
+                "ar_mutation_head: the AR head replaces the sampled "
+                "mutation scores, voiding the correlated-noise channel"
+            )
         if mc.diffusion.ar_context not in ("pathways", "continuous", "none"):
             raise ValueError(
                 f"Unknown diffusion.ar_context {mc.diffusion.ar_context!r};"
@@ -586,8 +601,13 @@ class ConditionalDiffusion:
             metrics["ar_ce"] = ar_ce
             ar_term = self.ar_ce_weight * ar_ce
             if self.ar_l2 > 0:
+                # Penalize only the live (strictly-lower-triangular)
+                # couplings — the masked half never reaches a logit and
+                # would otherwise just inflate the regularizer and |W|
+                # diagnostics with decaying init noise.
+                tri = jnp.tril(jnp.ones((Ma, Ma), jnp.float32), -1)
                 ar_term = ar_term + self.ar_l2 * jnp.sum(
-                    params["ar_coupling"] ** 2
+                    (params["ar_coupling"] * tri) ** 2
                 )
             if self.ar_ctx_l2 > 0:
                 ar_term = ar_term + self.ar_ctx_l2 * (

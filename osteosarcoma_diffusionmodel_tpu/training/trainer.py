@@ -394,15 +394,21 @@ class Trainer:
                     params, opt_state, batch_stats, data, cond, surv,
                     step_rng,
                 )
-                return (params, opt_state, batch_stats), metrics["loss"]
+                return (params, opt_state, batch_stats), (
+                    metrics["loss"],
+                    metrics.get("sel_loss", metrics["loss"]),
+                )
 
             keys = jax.vmap(lambda b: jax.random.fold_in(rng, b))(
                 jnp.arange(batch_indices.shape[0])
             )
-            (params, opt_state, batch_stats), losses = jax.lax.scan(
+            (params, opt_state, batch_stats), (losses, sels) = jax.lax.scan(
                 body, (params, opt_state, batch_stats), (batch_indices, keys)
             )
-            return params, opt_state, batch_stats, jnp.mean(losses)
+            return (
+                params, opt_state, batch_stats,
+                jnp.mean(losses), jnp.mean(sels),
+            )
 
         return run_epoch
 
@@ -457,8 +463,8 @@ class Trainer:
                  best_val, lr, p_best, p_count) = carry
                 idx, epoch_rng = inputs
 
-                params, opt_state, batch_stats, train_loss = run_epoch(
-                    params, opt_state, batch_stats, idx, epoch_rng
+                params, opt_state, batch_stats, train_loss, train_sel = (
+                    run_epoch(params, opt_state, batch_stats, idx, epoch_rng)
                 )
 
                 # Validation, mirroring `validate` exactly (same groups,
@@ -485,13 +491,17 @@ class Trainer:
                     val_loss = jnp.mean(jnp.stack(vlosses))
                     val_sel = jnp.mean(jnp.stack(vsels))
                 else:
+                    # No-val fallback: selection still excludes the AR
+                    # CE+L2 term (train_sel), otherwise the dedicated
+                    # Adam branch's steadily-falling CE would mask
+                    # plateaus and suppress early stop.
                     val_loss = train_loss
-                    val_sel = train_loss
+                    val_sel = train_sel
                 val_loss = jnp.where(
                     jnp.isnan(val_loss), train_loss, val_loss
                 )
                 val_sel = jnp.where(
-                    jnp.isnan(val_sel), train_loss, val_sel
+                    jnp.isnan(val_sel), train_sel, val_sel
                 )
 
                 # Plateau LR (PlateauLR.step logic, on device).
@@ -558,15 +568,18 @@ class Trainer:
             batch_indices = jnp.asarray(
                 perm[: n_batches * batch_size].reshape(n_batches, batch_size)
             )
-            self.params, self.opt_state, self.batch_stats, mean_loss = (
-                self._train_epoch_scan(
-                    self.params, self.opt_state, self.batch_stats,
-                    batch_indices, rng,
-                )
+            (
+                self.params, self.opt_state, self.batch_stats,
+                mean_loss, mean_sel,
+            ) = self._train_epoch_scan(
+                self.params, self.opt_state, self.batch_stats,
+                batch_indices, rng,
             )
+            self._last_train_sel = float(mean_sel)
             return float(mean_loss)
 
         total = 0.0
+        total_sel = 0.0
         for b in range(n_batches):
             batch_idx = perm[b * batch_size : (b + 1) * batch_size]
             data, cond, surv = self._gather_batch(batch_idx)
@@ -578,6 +591,8 @@ class Trainer:
                 )
             )
             total += float(metrics["loss"])
+            total_sel += float(metrics.get("sel_loss", metrics["loss"]))
+        self._last_train_sel = total_sel / n_batches
         return total / n_batches
 
     def validate(self, rng: jax.Array) -> Tuple[float, float]:
@@ -784,7 +799,10 @@ class Trainer:
             if val_loss != val_loss:  # no val samples: fall back to train loss
                 val_loss = train_loss
             if val_sel != val_sel:
-                val_sel = train_loss
+                # Fallback selection metric is the side-head-free train
+                # sel (the full train loss would include the AR branch's
+                # steadily-falling CE and mask denoiser plateaus).
+                val_sel = getattr(self, "_last_train_sel", train_loss)
             dt = time.perf_counter() - t0
 
             self.history.train_loss.append(train_loss)

@@ -87,6 +87,8 @@ def main():
         cfg.model.diffusion.ar_lr = float(os.environ["DEMO_AR_LR"])
     if "DEMO_AR_L2" in os.environ:
         cfg.model.diffusion.ar_l2 = float(os.environ["DEMO_AR_L2"])
+    if "DEMO_AR_CTX_L2" in os.environ:  # context-MLP kernel L2
+        cfg.model.diffusion.ar_ctx_l2 = float(os.environ["DEMO_AR_CTX_L2"])
     if os.environ.get("DEMO_FINETUNE"):  # sample-path fine-tune (STEP 4b)
         cfg.training.sample_path_finetune.enabled = True
         cfg.training.sample_path_finetune.steps = int(

@@ -62,6 +62,9 @@ from osteosarcoma_diffusionmodel_tpu.data.dataset import (  # noqa: E402
     prepare_arrays,
     train_val_split,
 )
+from osteosarcoma_diffusionmodel_tpu.ops.discrete import (  # noqa: E402
+    bernoulli_cross_entropy,
+)
 from osteosarcoma_diffusionmodel_tpu.ops.stats import (  # noqa: E402
     chi2_binary_pairs,
     pearson_corr,
@@ -118,9 +121,7 @@ def ar_logits(params, bits, ctx):
 
 def ce_loss(params, bits, ctx, l2, ctx_l2=0.0):
     logits = ar_logits(params, bits, ctx)
-    ce = jnp.mean(
-        jnp.maximum(logits, 0) - logits * bits + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    )
+    ce = jnp.mean(bernoulli_cross_entropy(logits, bits))
     reg = l2 * jnp.sum(params["W"] ** 2) + ctx_l2 * (
         jnp.sum(params["c1"] ** 2) + jnp.sum(params["c2"] ** 2)
     )

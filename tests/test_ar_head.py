@@ -327,9 +327,12 @@ def test_sel_loss_excludes_ar_terms():
     x0 = x0.at[:, :5].set((x0[:, :5] > 0).astype(jnp.float32))
     cond = jax.random.normal(jax.random.PRNGKey(2), (8, dims.condition_dim))
     total, metrics = model.loss(params, x0, cond, jax.random.PRNGKey(3))
+    tri = jnp.tril(jnp.ones((5, 5), jnp.float32), -1)
     ar_term = (
         model.ar_ce_weight * metrics["ar_ce"]
-        + model.ar_l2 * jnp.sum(params["ar_coupling"] ** 2)
+        # Only the live strictly-lower-triangular couplings are
+        # penalized (the masked half never reaches a logit).
+        + model.ar_l2 * jnp.sum((params["ar_coupling"] * tri) ** 2)
         + model.ar_ctx_l2
         * (
             jnp.sum(params["ar_ctx_fc1"]["kernel"] ** 2)
@@ -489,3 +492,38 @@ def test_joint_training_recovers_cooccurrence_with_mixup_on(tmp_path, rng):
         np.asarray(real_corr)[iu], np.asarray(synth_corr)[iu]
     )[0, 1]
     assert cc > 0.5, f"joint-trained raw co-occurrence correlation {cc:.3f}"
+
+
+def test_ar_conflicts_with_mutations_scoped_lowrank_sigma():
+    """Silent-no-op guard: a mutations-scoped correlated-noise channel
+    can never reach the output bits when the AR head replaces the
+    sampled mutation scores at generation."""
+    cfg = _cfg()
+    cfg.model.diffusion.low_rank_sigma_dim = 4
+    cfg.model.diffusion.low_rank_sigma_scope = "mutations"
+    dims = cfg.freeze_dims(5, 12, 3, ["a", "b", "c"])
+    with pytest.raises(ValueError, match="ar_mutation_head"):
+        ConditionalDiffusion.from_config(cfg, dims)
+
+
+def test_generate_rng_reproducibility_with_ar_head(rng):
+    """generate(rng=k) is a pure function of k for the mutation block
+    too: the AR draw must key off the caller's rng, not a hidden call
+    counter (same rng -> identical cohort; different rng -> different
+    bits)."""
+    cfg = _cfg()
+    dims = cfg.freeze_dims(5, 12, 3, ["a", "b", "c"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    # Couplings that actually react to rng differences.
+    params = dict(params)
+    params["ar_coupling"] = jax.random.normal(jax.random.PRNGKey(5), (5, 5))
+    cfg.generation.calibrate_marginals = False
+    gen = SyntheticPatientGenerator(
+        model, params, cfg, dims, data_stats=_stats(rng, dims)
+    )
+    a = gen.generate(64, {}, rng=jax.random.PRNGKey(11))
+    b = gen.generate(64, {}, rng=jax.random.PRNGKey(11))
+    c = gen.generate(64, {}, rng=jax.random.PRNGKey(12))
+    np.testing.assert_array_equal(a["mutations"], b["mutations"])
+    assert not np.array_equal(a["mutations"], c["mutations"])
