@@ -43,14 +43,19 @@ def main():
     timings = {}
     t0 = time.perf_counter()
     n_samples = int(os.environ.get("DEMO_N", 100))
+    demo_seed = int(os.environ.get("DEMO_SEED", 0))
     make_dummy_data(
         workdir / "processed", n_samples=n_samples,
         n_mutation_genes=62, n_expression_genes=5054, n_pathways=26,
+        seed=demo_seed,
     )
     timings["make_data_sec"] = time.perf_counter() - t0
     timings["n_samples"] = n_samples
+    timings["demo_seed"] = demo_seed
 
     cfg = Config()
+    if demo_seed:  # seed-robustness runs vary training/split/gen seeds too
+        cfg.training.random_seed = 42 + demo_seed
     cfg.data.processed_dir = str(workdir / "processed")
     cfg.training.num_epochs = int(os.environ.get("DEMO_EPOCHS", 200))
     cfg.training.patience = int(os.environ.get("DEMO_EPOCHS", 200))
