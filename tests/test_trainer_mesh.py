@@ -124,3 +124,47 @@ def test_trainer_plateau_updates_still_work(tmp_path):
     # One more step must run fine with the mutated state.
     loss = trainer.train_epoch(0, jax.random.PRNGKey(0))
     assert np.isfinite(loss)
+
+
+def test_mesh_training_with_ar_head_matches_single_device(tmp_path):
+    """The AR (FVSBN) head under the 8-device data-parallel mesh: the
+    multi_transform optimizer (main AdamW + dedicated AR Adam), the
+    raw-batch AR CE routing, and the sel metrics must all survive the
+    sharded epoch scan and reproduce the single-device run."""
+    def setup(path):
+        model, arrays, dims, cfg = small_setup(path)
+        cfg.model.diffusion.ar_mutation_head = True
+        # Rebuild with the AR head on; binarize the mutation block so
+        # the teacher-forced CE sees real bits.
+        arrays.data[:, : dims.mutation_dim] = (
+            arrays.data[:, : dims.mutation_dim] > 0
+        ).astype(np.float32)
+        model = build_model(cfg, dims)
+        return model, arrays, dims, cfg
+
+    model, arrays, dims, cfg = setup(tmp_path / "s")
+    t_single = Trainer(model, arrays, dims, cfg)
+    rng = jax.random.PRNGKey(0)
+    loss_single = [t_single.train_epoch(e, jax.random.fold_in(rng, e))
+                   for e in range(2)]
+    sel_single = t_single._last_train_sel
+
+    model2, arrays2, dims2, cfg2 = setup(tmp_path / "m")
+    mesh = make_mesh(8)
+    t_mesh = Trainer(model2, arrays2, dims2, cfg2, mesh=mesh)
+    assert cfg2.training.batch_size % mesh.shape["data"] == 0
+    loss_mesh = [t_mesh.train_epoch(e, jax.random.fold_in(rng, e))
+                 for e in range(2)]
+
+    np.testing.assert_allclose(loss_single, loss_mesh, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        sel_single, t_mesh._last_train_sel, rtol=1e-4, atol=1e-5
+    )
+    # sel < loss: the AR CE+L2 term is excluded from selection.
+    assert sel_single < loss_single[-1]
+    # AR couplings trained identically across the mesh boundary.
+    np.testing.assert_allclose(
+        np.asarray(t_single.params["ar_coupling"]),
+        np.asarray(t_mesh.params["ar_coupling"]),
+        rtol=1e-3, atol=1e-4,
+    )
