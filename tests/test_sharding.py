@@ -174,23 +174,10 @@ def test_graft_dryrun_driver_path():
         if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # Environment precondition: the default backend must be reachable.
-    # During axon tunnel outages the dryrun subprocess retry-sleeps on
-    # backend init until the timeout — a false negative about THIS
-    # machine, not the code. Probe cheaply first and skip if down.
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            env=env, cwd=repo, capture_output=True, text=True, timeout=600,
-        )
-    except subprocess.TimeoutExpired:
-        # The axon register retry-sleeps on a dead tunnel instead of
-        # erroring — a hung probe is the same precondition failure.
-        pytest.skip("default JAX backend unreachable (axon tunnel outage)")
-    if probe.returncode != 0 and (
-        "UNAVAILABLE" in probe.stderr or "Unable to initialize" in probe.stderr
-    ):
-        pytest.skip("default JAX backend unreachable (axon tunnel outage)")
+    # No backend-reachability probe needed: dryrun_multichip skips the
+    # parent-process jax.devices() call when no backend is initialized
+    # yet, so a fresh driver-style process never touches the (possibly
+    # down) TPU tunnel — it goes straight to the CPU-pinned subprocess.
     proc = subprocess.run(
         [
             sys.executable,
