@@ -371,6 +371,44 @@ def test_serving_discrete_head_checkpoint(tmp_path_factory):
     assert set(np.unique(out_ddim["mutations"])) <= {0.0, 1.0}
 
 
+def test_serving_ar_head_checkpoint(tmp_path_factory):
+    """The serving path with an autoregressive (FVSBN) mutation-head
+    checkpoint: the generator must self-configure the AR head from
+    checkpoint metadata and emit natively binary mutations through
+    the service, for both samplers."""
+    import os
+
+    tmp_path = tmp_path_factory.mktemp("serve_ar")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        make_dummy_data(tmp_path / "processed", n_samples=30,
+                        n_mutation_genes=8, n_expression_genes=32,
+                        n_pathways=4)
+        cfg = Config()
+        cfg.data.processed_dir = str(tmp_path / "processed")
+        cfg.model.hidden_dims = [32, 64, 32]
+        cfg.model.latent_dim = 16
+        cfg.model.diffusion.num_steps = 6
+        cfg.model.diffusion.ar_mutation_head = True
+        cfg.model.compute_dtype = "float32"
+        cfg.training.num_epochs = 2
+        cfg.training.batch_size = 8
+        cfg.training.save_dir = str(tmp_path / "ckpt")
+        train_model(cfg)
+    finally:
+        os.chdir(cwd)
+
+    import numpy as np
+
+    service = GenerationService(tmp_path / "ckpt")
+    assert service.generator.model.ar_head
+    out = service.generate(4, {"survival_time": 700})
+    assert set(np.unique(out["mutations"])) <= {0.0, 1.0}
+    out_ddim = service.generate(3, {"survival_time": 700}, sampler="ddim")
+    assert set(np.unique(out_ddim["mutations"])) <= {0.0, 1.0}
+
+
 def test_warmup_does_not_pollute_drift_or_request_log(trained_checkpoint,
                                                       tmp_path):
     """Warmup traffic must not count as drift/audit data
