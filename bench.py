@@ -16,16 +16,63 @@ scripts/measure_reference_baseline.py); falls back to the documented
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 from pathlib import Path
 
-import jax
-import jax.numpy as jnp
-
-from osteosarcoma_diffusionmodel_tpu.config import Config
-from osteosarcoma_diffusionmodel_tpu.models.diffusion import ConditionalDiffusion
-
 REPO = Path(__file__).resolve().parent
+
+# Outage tolerance (round-3 VERDICT weak #1 / next #3): the tunneled
+# TPU backend's first device op costs 26-537 s when healthy and either
+# raises UNAVAILABLE or blocks indefinitely during an axon outage. The
+# driver's round-end bench must not lose the round's number to one bad
+# init, so the default entry point runs the measurement in a child
+# process with a hard per-attempt timeout and bounded retries, and on
+# persistent failure prints a structured JSON line instead of a
+# traceback.
+_ATTEMPT_TIMEOUTS = (1200, 900, 900)  # init worst-case 537 s + compile
+_BACKOFFS = (90, 180)
+
+
+def _run_supervised() -> int:
+    last_err = "unknown"
+    for i, attempt_timeout in enumerate(_ATTEMPT_TIMEOUTS):
+        env = dict(os.environ, OSDM_BENCH_INNER="1")
+        try:
+            proc = subprocess.run(
+                [sys.executable, str(Path(__file__).resolve())],
+                env=env, capture_output=True, text=True,
+                timeout=attempt_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {i + 1} timed out after {attempt_timeout}s"
+        else:
+            json_lines = [
+                ln for ln in proc.stdout.splitlines()
+                if ln.startswith("{") and ln.rstrip().endswith("}")
+            ]
+            if proc.returncode == 0 and json_lines:
+                print(json_lines[-1])
+                return 0
+            tail = (proc.stderr or proc.stdout).strip().splitlines()
+            last_err = (
+                f"attempt {i + 1} rc={proc.returncode}: "
+                + "; ".join(tail[-3:])
+            )
+        print(f"bench attempt {i + 1} failed: {last_err}", file=sys.stderr)
+        if i < len(_BACKOFFS):
+            time.sleep(_BACKOFFS[i])
+    print(json.dumps({
+        "metric": "sampled_patients_per_sec_1000step_ddpm",
+        "value": None,
+        "unit": "patients/sec",
+        "vs_baseline": None,
+        "error": f"backend unavailable after {len(_ATTEMPT_TIMEOUTS)} "
+                 f"attempts: {last_err}"[:500],
+    }))
+    return 1
 
 MUTATION_DIM, EXPRESSION_DIM, PATHWAY_DIM, CONDITION_DIM = 62, 5054, 26, 3
 NUM_STEPS = 1000
@@ -47,6 +94,13 @@ def reference_baseline() -> float:
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
+
+    from osteosarcoma_diffusionmodel_tpu.config import Config
+    from osteosarcoma_diffusionmodel_tpu.models.diffusion import (
+        ConditionalDiffusion,
+    )
     from osteosarcoma_diffusionmodel_tpu.utils.profiling import (
         enable_compilation_cache,
     )
@@ -95,4 +149,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("OSDM_BENCH_INNER"):
+        main()
+    else:
+        sys.exit(_run_supervised())

@@ -123,18 +123,30 @@ def write_summary_report(
     nn_ratio = validation_results.get("nn_distance_ratio")
     if nn_ratio is not None:
         dup = validation_results.get("exact_duplicate_rate", 0.0)
+        q05 = validation_results.get("nn_loo_ratio_q05")
+        q05_floor = validation_results.get("nn_loo_ratio_q05_floor")
         # A distributional score can be earned by re-rendering training
-        # patients; the novelty audit is what rules that out.
-        if dup > 0.01 or nn_ratio < 0.2:
+        # patients; the novelty audit is what rules that out. q05 vs
+        # its split-half floor catches a memorized SUBPOPULATION that
+        # the medians average away (validator.novelty_metrics).
+        q05_crushed = (
+            q05 is not None and q05_floor is not None
+            and q05 < 0.25 * q05_floor
+        )
+        if dup > 0.01 or nn_ratio < 0.2 or q05_crushed:
             verdict = "MEMORIZATION SUSPECTED"
         elif nn_ratio < 0.5:
             verdict = "REVIEW (synthetic sits close to training patients)"
         else:
             verdict = "NOVEL (synthetic patients are not re-renders)"
         lines.append("")
+        q05_txt = (
+            f", nn_loo_ratio_q05={q05:.3f} (floor {q05_floor:.3f})"
+            if q05 is not None and q05_floor is not None else ""
+        )
         lines.append(
             f"Novelty audit: nn_distance_ratio={nn_ratio:.3f}, "
-            f"exact_duplicate_rate={dup:.4f} -> {verdict}"
+            f"exact_duplicate_rate={dup:.4f}{q05_txt} -> {verdict}"
         )
     report = "\n".join(lines)
     output_path.parent.mkdir(parents=True, exist_ok=True)
