@@ -408,6 +408,14 @@ class GenerationConfig:
     # kept selectable so the measurement is reproducible. Output
     # deviation vs bf16 is ~1-2% RMS (elementwise corr 0.999).
     fused_quantize: str = "none"
+    # GroupNorm-statistics mode inside the fused kernel: "bf16"
+    # (default, +4.7% whole-kernel throughput; var clamped >= 0
+    # against bf16 cancellation) or "f32" (round-2 layout, exact flax
+    # GroupNorm parity — select for bit-stable fixed-seed outputs
+    # against pre-round-3 goldens/checkpoint artifacts). "merged3"/
+    # "merged" are measured-no-better experimental layouts
+    # (ops/fused_sampler.py FusedSampler.gn_mode).
+    fused_gn_mode: str = "bf16"
     # Calibration of generated cohorts against the training cohort:
     #   "copula_joint" — one latent-Gaussian factor over the FULL
     #                [mutations | continuous] patient vector (Gram of

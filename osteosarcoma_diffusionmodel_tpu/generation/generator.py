@@ -144,6 +144,9 @@ class SyntheticPatientGenerator:
                 maybe_fused_sampler(
                     self.model, params, ddim_steps=ddim_steps,
                     quantize=None if quant in ("none", None) else quant,
+                    gn_mode=getattr(
+                        self.config.generation, "fused_gn_mode", "bf16"
+                    ),
                 )
                 or False
             )
@@ -183,11 +186,21 @@ class SyntheticPatientGenerator:
         self, conditions: jnp.ndarray, rng: jax.Array
     ) -> jnp.ndarray:
         gen = self.config.generation
-        if (
-            getattr(self.model, "latent_factor_dim", 0) > 0
-            and self.data_stats is not None
-            and "data_matrix" in self.data_stats
-        ):
+        if getattr(self.model, "latent_factor_dim", 0) > 0:
+            if self.data_stats is None or "data_matrix" not in (
+                self.data_stats or {}
+            ):
+                # Without the cohort matrix the latent prior cannot be
+                # fitted; silently skipping used to surface later as an
+                # opaque condition-width mismatch inside the denoiser
+                # (round-3 ADVICE).
+                raise ValueError(
+                    "This checkpoint was trained with latent_factor_dim="
+                    f"{self.model.latent_factor_dim} but the generator has "
+                    "no data_stats['data_matrix'] to fit the latent prior "
+                    "on. Pass the training cohort stats (saved next to the "
+                    "checkpoint as data_stats.npz) to the generator."
+                )
             rng, h_rng = jax.random.split(rng)
             h = self._latent_prior_draw(conditions.shape[0], h_rng)
             conditions = jnp.concatenate(

@@ -141,3 +141,36 @@ def test_dump_raw_per_scenario_suffix(generator, tmp_path, monkeypatch):
     np.testing.assert_array_equal(
         np.load(tmp_path / "raw_s1.npz")["samples"], s2
     )
+
+
+def test_fused_gn_mode_plumbs_from_config(monkeypatch):
+    """generation.fused_gn_mode reaches maybe_fused_sampler (round-3
+    ADVICE: production had no config path back to the exact-parity f32
+    GroupNorm stats after the bf16 default change)."""
+    from osteosarcoma_diffusionmodel_tpu.ops import fused_sampler as fs
+
+    cfg = Config()
+    cfg.model.hidden_dims = [32, 64, 32]
+    cfg.model.latent_dim = 16
+    cfg.model.diffusion.num_steps = 6
+    cfg.model.compute_dtype = "float32"
+    cfg.model.constraints.enabled = False
+    cfg.generation.fused_gn_mode = "f32"
+    cfg.generation.fused_quantize = "out"
+    dims = cfg.freeze_dims(5, 12, 3, ["survival_days_norm",
+                                      "event_occurred",
+                                      "metastasis_at_diagnosis"])
+    model = ConditionalDiffusion.from_config(cfg, dims)
+    params = model.init_params(jax.random.PRNGKey(0), dims.condition_dim)
+    gen = SyntheticPatientGenerator(model, params, cfg, dims)
+
+    seen = {}
+
+    def fake_maybe(model, params, **kw):
+        seen.update(kw)
+        return None
+
+    monkeypatch.setattr(fs, "maybe_fused_sampler", fake_maybe)
+    assert gen._get_fused(params) is False  # None -> cached as False
+    assert seen["gn_mode"] == "f32"
+    assert seen["quantize"] == "out"
