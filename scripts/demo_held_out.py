@@ -97,6 +97,10 @@ def main():
     if "DEMO_CALIBRATE" in os.environ:
         v = os.environ["DEMO_CALIBRATE"]
         cfg.generation.calibrate_marginals = False if v == "false" else v
+    if "DEMO_BLOCK" in os.environ:  # epochs per jitted dispatch
+        cfg.training.epochs_per_dispatch = int(os.environ["DEMO_BLOCK"])
+    if os.environ.get("DEMO_AR"):  # autoregressive (FVSBN) mutation head
+        cfg.model.diffusion.ar_mutation_head = True
     cfg.generation.batch_scenarios = True
     cfg.training.save_dir = str(workdir / "ckpt")
     cfg.generation.num_synthetic_samples = int(
