@@ -349,150 +349,224 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
                 preferred_element_type=jnp.float32,
             )
 
-        def run_block(h_parts, block_entry, features):
-            # h_parts: list of f32 inputs (the decoder's concat operands)
-            part_entries, fc2_entry, vecs = block_entry
-            acc = None
-            for part, entry in zip(h_parts, part_entries):
-                term = mm(part, entry)
-                acc = term if acc is None else acc + term
-            (fc1_b, s1, b1, fc2_b, s2, b2) = vecs
-            g, gt = gn_table[features]
-            h = acc + fc1_b[:]
-            h = _groupnorm(h, g[:], gt[:], s1[:], b1[:],
-                           features // NUM_GROUPS, gn_mode)
-            h = jax.nn.silu(h)
-            h = mm(h, fc2_entry) + fc2_b[:]
-            h = _groupnorm(h, g[:], gt[:], s2[:], b2[:],
-                           features // NUM_GROUPS, gn_mode)
-            return jax.nn.silu(h)
-
         n_enc = layout["n_encoder"]
 
-        def denoise(x_bf16, s, cp=None):
-            # The denoiser sees 2b-1 on mutation columns (scan parity:
-            # models/diffusion.py x_in); continuous columns pass through.
-            xf = x_bf16.astype(jnp.float32)
-            if mut_dim:
-                left = (1.0 + mut_mask) * xf[:, :mut_pad] - mut_mask
-                if mut_pad < data_dim:
-                    xf = jnp.concatenate([left, xf[:, mut_pad:]], axis=1)
+        def make_stages(s, cp):
+            """One reverse step as a list of state->state stage
+            closures, alternating MXU-dominated (fc dots) and
+            VPU-dominated (GroupNorm stats + silu, posterior) stages.
+            The sequential and ping-pong paths apply them in order
+            (identical op emission to the round-3 monolithic
+            step_half); the staggered path offsets two half-tiles by
+            one stage so every MXU stage of one half is emitted next
+            to a VPU stage of the other — data-independent work the
+            Mosaic scheduler can overlap.
+
+            State keys: x (bf16 carry), xf (untransformed f32, the
+            posterior's bit view), xf_t (mutation-transformed denoiser
+            input), h (activations), skips (trace-time list), out (raw
+            prediction)."""
+            stages = []
+
+            def st_pre(st):
+                # The denoiser sees 2b-1 on mutation columns (scan
+                # parity: models/diffusion.py x_in); continuous columns
+                # pass through.
+                xf = st["x"].astype(jnp.float32)
+                st["xf"] = xf
+                if mut_dim:
+                    left = (1.0 + mut_mask) * xf[:, :mut_pad] - mut_mask
+                    if mut_pad < data_dim:
+                        xf = jnp.concatenate(
+                            [left, xf[:, mut_pad:]], axis=1
+                        )
+                    else:
+                        xf = left
+                st["xf_t"] = xf
+                h = mm(xf, w_in)
+                # Dynamic single-row VMEM loads need 8-aligned indices;
+                # a one-hot matmul row-select is unconstrained and
+                # cheap ((1,T)@(T,H0) per step).
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) == s
+                ).astype(jnp.float32)
+                t_row = jnp.dot(
+                    onehot, tadd_ref[:], preferred_element_type=jnp.float32
+                )
+                st["h"] = h + t_row + cp
+                st["skips"] = []
+                return st
+
+            stages.append(st_pre)
+
+            for k, (kind, n_parts, feat) in enumerate(layout["blocks"]):
+                entry = block_entries[k]
+                is_enc = k < n_enc
+                is_dec = k > n_enc
+
+                def st_fc1(st, entry=entry, is_dec=is_dec):
+                    part_entries, _fc2, vecs = entry
+                    parts = [st["h"]]
+                    if is_dec:
+                        # Decoder: fc1 split into [h | skip] row-parts
+                        # (the concat becomes a sum of matmuls).
+                        parts.append(st["skips"].pop())
+                    acc = None
+                    for part, e in zip(parts, part_entries):
+                        term = mm(part, e)
+                        acc = term if acc is None else acc + term
+                    st["h"] = acc + vecs[0][:]
+                    return st
+
+                def st_gn1(st, entry=entry, feat=feat):
+                    _parts, _fc2, vecs = entry
+                    g, gt = gn_table[feat]
+                    st["h"] = jax.nn.silu(_groupnorm(
+                        st["h"], g[:], gt[:], vecs[1][:], vecs[2][:],
+                        feat // NUM_GROUPS, gn_mode,
+                    ))
+                    return st
+
+                def st_fc2(st, entry=entry):
+                    _parts, fc2_entry, vecs = entry
+                    st["h"] = mm(st["h"], fc2_entry) + vecs[3][:]
+                    return st
+
+                def st_gn2(st, entry=entry, feat=feat, is_enc=is_enc):
+                    _parts, _fc2, vecs = entry
+                    g, gt = gn_table[feat]
+                    h = jax.nn.silu(_groupnorm(
+                        st["h"], g[:], gt[:], vecs[4][:], vecs[5][:],
+                        feat // NUM_GROUPS, gn_mode,
+                    ))
+                    if is_enc:
+                        st["skips"].append(h)
+                    st["h"] = h
+                    return st
+
+                stages += [st_fc1, st_gn1, st_fc2, st_gn2]
+
+            def st_out(st):
+                out = mm(st["h"], w_out) + b_out_ref[:]
+                gain = coeff_ref[s, 3]
+                # Raw prediction: x0 for continuous columns, x0-bit
+                # LOGITS for mutation columns (clip applied in st_post
+                # to the continuous part only).
+                st["out"] = out + gain * st["xf_t"]
+                return st
+
+            stages.append(st_out)
+
+            def st_post(st):
+                out = st["out"]
+                xf = st["xf"]
+                x0 = jnp.clip(out, -clip_value, clip_value)
+                c0 = coeff_ref[s, 0]
+                c1 = coeff_ref[s, 1]
+
+                # Per-step uniforms: continuous transition noise and
+                # mutation bit draws share one full-width draw ("prng"/
+                # "buffer"); the deterministic DDIM path draws only the
+                # narrow mutation slice.
+                rows = st["x"].shape[0]
+                u_m = None
+                if noise_mode == "prng":
+                    u = prng_uniform_wide(rows)
+                    z = (u - 0.5) * _UNIFORM_SCALE
+                    if mut_dim:
+                        u_m = u[:, :mut_pad]
+                elif noise_mode == "buffer":
+                    z = noise_ref[s].astype(jnp.float32)
+                    if mut_dim:
+                        u_m = z[:, :mut_pad] * (1.0 / _UNIFORM_SCALE) + 0.5
+                elif mut_dim:  # "none" (eta=0 DDIM) still draws bits
+                    u_m = prng_uniform(mut_pad, rows)
+
+                if noise_mode == "none":
+                    # Deterministic (eta=0 DDIM) continuous update; the
+                    # coefficient table folds the x0/x_t mixing per step.
+                    cont_new = c0 * x0 + c1 * xf
                 else:
-                    xf = left
-            h = mm(xf, w_in)
-            # Dynamic single-row VMEM loads need 8-aligned indices; a
-            # one-hot matmul row-select is unconstrained and cheap
-            # ((1,T)@(T,H0) per step).
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) == s
-            ).astype(jnp.float32)
-            t_row = jnp.dot(
-                onehot, tadd_ref[:], preferred_element_type=jnp.float32
-            )
-            h = h + t_row + (cproj if cp is None else cp)
+                    sv = coeff_ref[s, 2]
+                    cont_new = c0 * x0 + c1 * xf + sv * z
 
-            skips = []
-            bi = 0
-            for k in range(n_enc):
-                kind, n_parts, feat = layout["blocks"][bi]
-                h = run_block([h], block_entries[bi], feat)
-                skips.append(h)
-                bi += 1
-            # Bottleneck.
-            kind, n_parts, feat = layout["blocks"][bi]
-            h = run_block([h], block_entries[bi], feat)
-            bi += 1
-            # Decoder: fc1 split into [h | skip] row-parts.
-            while bi < len(layout["blocks"]):
-                if not skips:
-                    break
-                skip = skips.pop()
-                kind, n_parts, feat = layout["blocks"][bi]
-                h = run_block([h, skip], block_entries[bi], feat)
-                bi += 1
+                if not mut_dim:
+                    st["x"] = cont_new.astype(jnp.bfloat16)
+                    return st
 
-            out = mm(h, w_out) + b_out_ref[:]
-            gain = coeff_ref[s, 3]
-            # Raw prediction: x0 for continuous columns, x0-bit LOGITS
-            # for mutation columns (clip applied by the caller to the
-            # continuous part only).
-            return out + gain * xf
+                # Binary D3PM posterior on the (lane-padded) mutation
+                # slice (ops/discrete.py posterior_prob_one, elementwise).
+                beta = coeff_ref[s, 4]
+                acp_prev = coeff_ref[s, 5]
+                xm = xf[:, :mut_pad]
+                p1 = jax.nn.sigmoid(out[:, :mut_pad])
+                half_beta = 0.5 * beta
+                f1 = (1.0 - beta) * xm + half_beta
+                f0 = (1.0 - beta) * (1.0 - xm) + half_beta
+                half_om = 0.5 * (1.0 - acp_prev)
+                g_same = acp_prev + half_om
+                a1_i1 = f1 * g_same
+                a0_i1 = f0 * half_om
+                a1_i0 = f1 * half_om
+                a0_i0 = f0 * g_same
+                post1_i1 = a1_i1 / (a1_i1 + a0_i1)
+                post1_i0 = a1_i0 / (a1_i0 + a0_i0)
+                p_prev = p1 * post1_i1 + (1.0 - p1) * post1_i0
+                mut_new = (u_m < p_prev).astype(jnp.float32)
+                left = (
+                    mut_mask * mut_new
+                    + (1.0 - mut_mask) * cont_new[:, :mut_pad]
+                )
+                if mut_pad < data_dim:
+                    x_new = jnp.concatenate(
+                        [left, cont_new[:, mut_pad:]], axis=1
+                    )
+                else:
+                    x_new = left
+                st["x"] = x_new.astype(jnp.bfloat16)
+                return st
+
+            stages.append(st_post)
+            return stages
 
         def step_half(s, x, cp=None):
-            out = denoise(x, s, cp)
-            x0 = jnp.clip(out, -clip_value, clip_value)
-            xf = x.astype(jnp.float32)
-            c0 = coeff_ref[s, 0]
-            c1 = coeff_ref[s, 1]
-
-            # Per-step uniforms: continuous transition noise and
-            # mutation bit draws share one full-width draw ("prng"/
-            # "buffer"); the deterministic DDIM path draws only the
-            # narrow mutation slice.
-            rows = x.shape[0]
-            u_m = None
-            if noise_mode == "prng":
-                u = prng_uniform_wide(rows)
-                z = (u - 0.5) * _UNIFORM_SCALE
-                if mut_dim:
-                    u_m = u[:, :mut_pad]
-            elif noise_mode == "buffer":
-                z = noise_ref[s].astype(jnp.float32)
-                if mut_dim:
-                    u_m = z[:, :mut_pad] * (1.0 / _UNIFORM_SCALE) + 0.5
-            elif mut_dim:  # "none" (eta=0 DDIM) still draws bits
-                u_m = prng_uniform(mut_pad, rows)
-
-            if noise_mode == "none":
-                # Deterministic (eta=0 DDIM) continuous update; the
-                # coefficient table folds the x0/x_t mixing per step.
-                cont_new = c0 * x0 + c1 * xf
-            else:
-                sv = coeff_ref[s, 2]
-                cont_new = c0 * x0 + c1 * xf + sv * z
-
-            if not mut_dim:
-                return cont_new.astype(jnp.bfloat16)
-
-            # Binary D3PM posterior on the (lane-padded) mutation slice
-            # (ops/discrete.py posterior_prob_one, elementwise).
-            beta = coeff_ref[s, 4]
-            acp_prev = coeff_ref[s, 5]
-            xm = xf[:, :mut_pad]
-            p1 = jax.nn.sigmoid(out[:, :mut_pad])
-            half_beta = 0.5 * beta
-            f1 = (1.0 - beta) * xm + half_beta
-            f0 = (1.0 - beta) * (1.0 - xm) + half_beta
-            half_om = 0.5 * (1.0 - acp_prev)
-            g_same = acp_prev + half_om
-            a1_i1 = f1 * g_same
-            a0_i1 = f0 * half_om
-            a1_i0 = f1 * half_om
-            a0_i0 = f0 * g_same
-            post1_i1 = a1_i1 / (a1_i1 + a0_i1)
-            post1_i0 = a1_i0 / (a1_i0 + a0_i0)
-            p_prev = p1 * post1_i1 + (1.0 - p1) * post1_i0
-            mut_new = (u_m < p_prev).astype(jnp.float32)
-            left = mut_mask * mut_new + (1.0 - mut_mask) * cont_new[:, :mut_pad]
-            if mut_pad < data_dim:
-                x_new = jnp.concatenate([left, cont_new[:, mut_pad:]], axis=1)
-            else:
-                x_new = left
-            return x_new.astype(jnp.bfloat16)
+            st = {"x": x}
+            for f in make_stages(s, cproj if cp is None else cp):
+                st = f(st)
+            return st["x"]
 
         if interleave:
-            # Ping-pong half-tiles: the two halves' chains are data-
-            # independent within a step, so the compiler is free to
-            # fill one half's VPU tail (GroupNorm stats, posterior,
-            # PRNG) with the other half's matmuls instead of
-            # serializing MXU and VPU on one strict dependency chain.
             cpa, cpb = jnp.split(cproj, 2, axis=0)
 
-            def body(s, halves):
-                return (
-                    step_half(s, halves[0], cpa),
-                    step_half(s, halves[1], cpb),
-                )
+            if interleave == "staggered":
+                # Two-half software pipeline: half B trails half A by
+                # exactly one stage, so the emission order pairs B's
+                # fc dot (MXU) with A's GroupNorm stats + silu (VPU)
+                # and vice versa — independent work adjacent in
+                # program order for the scheduler to overlap, instead
+                # of one strict MXU->VPU->MXU dependency chain
+                # (round-3 measured GN stats = 30% of kernel time).
+                def body(s, halves):
+                    sa = {"x": halves[0]}
+                    sb = {"x": halves[1]}
+                    stages_a = make_stages(s, cpa)
+                    stages_b = make_stages(s, cpb)
+                    sa = stages_a[0](sa)
+                    for k in range(1, len(stages_a)):
+                        sa = stages_a[k](sa)
+                        sb = stages_b[k - 1](sb)
+                    sb = stages_b[-1](sb)
+                    return sa["x"], sb["x"]
+            else:
+                # Ping-pong half-tiles (round-3 experiment, kept
+                # reproducible): both halves' full chains per step,
+                # emitted one after the other — the compiler is free
+                # (but measured unwilling, -2%) to overlap them.
+                def body(s, halves):
+                    return (
+                        step_half(s, halves[0], cpa),
+                        step_half(s, halves[1], cpb),
+                    )
 
             xa, xb = jnp.split(x_ref[:], 2, axis=0)
             ya, yb = jax.lax.fori_loop(0, T, body, (xa, xb))
@@ -514,7 +588,7 @@ class FusedSampler:
     def __init__(self, model, params, tile_b: int = 512,
                  interpret: bool = False,
                  ddim_steps: Optional[int] = None,
-                 interleave: bool = False,
+                 interleave=False,
                  quantize: Optional[str] = None,
                  gn_mode: str = "bf16"):
         """`ddim_steps`: when set, the kernel runs the deterministic
@@ -523,9 +597,14 @@ class FusedSampler:
         no per-step noise at all (models/diffusion.py sample_ddim
         algebra, x0 parameterization).
 
-        `interleave`: run the loop over two independent half-tiles so
-        the compiler can overlap one half's VPU tail with the other's
-        matmuls (perf experiment; statistically identical output).
+        `interleave`: run the loop over two independent half-tiles.
+        True/"pingpong" emits both halves' full per-step chains back
+        to back (round-3 experiment: -2%, the compiler would not
+        overlap them). "staggered" offsets the halves by one pipeline
+        stage so MXU stages of one half are emitted adjacent to VPU
+        stages (GroupNorm stats, posterior) of the other — the round-4
+        attack on the measured 30%-of-kernel GN-stats serial tail.
+        Statistically identical output either way.
 
         `quantize`: int8 MXU mode — None (bf16 everywhere, default),
         "out" (the N-wide output projection), "io" (both data_dim-wide
@@ -556,7 +635,11 @@ class FusedSampler:
         self.params = params
         self.tile_b = tile_b
         self.interpret = interpret
-        self.interleave = interleave and tile_b % 16 == 0
+        if interleave not in (False, True, "pingpong", "staggered"):
+            raise ValueError(f"unknown interleave mode {interleave!r}")
+        if interleave is True:
+            interleave = "pingpong"
+        self.interleave = (interleave or False) if tile_b % 16 == 0 else False
         if quantize not in (None, "out", "io", "all"):
             raise ValueError(
                 f"quantize must be None/'out'/'io'/'all', got {quantize!r}"
@@ -690,7 +773,9 @@ class FusedSampler:
             # half-tile split would mismatch them (parity tests
             # use buffer mode and need the exact single-chain
             # order anyway).
-            interleave=self.interleave and noise_mode != "buffer",
+            interleave=(
+                False if noise_mode == "buffer" else self.interleave
+            ),
             quant=self.quantize,
             gn_mode=self.gn_mode,
         )

@@ -141,6 +141,12 @@ def main():
         for label, kw in (
             ("gn_f32", dict(gn_mode="f32")),
             ("int8_out", dict(gn_mode="bf16", quantize="out")),
+            # Round-4 GN-stats overlap attack: two-half software
+            # pipeline offset by one stage (MXU stages of one half
+            # adjacent to the other's VPU stats stages).
+            ("staggered", dict(gn_mode="bf16", interleave="staggered")),
+            ("staggered_gn_f32", dict(gn_mode="f32",
+                                      interleave="staggered")),
         ):
             fs_var = FusedSampler(model, params, **kw)
             dt = timeit(

@@ -434,3 +434,34 @@ def test_vmem_estimate_scales_and_flagship_fits():
     )
     wide = FusedSampler(big, big_params, tile_b=512, interpret=True)
     assert wide.estimated_vmem_bytes() > budget
+
+
+@pytest.mark.parametrize("mode", ["pingpong", "staggered"])
+def test_interleave_modes_match_sequential_ddim(mode):
+    """The half-tile interleave variants must be bit-identical to the
+    sequential kernel on the deterministic (eta=0) DDIM path — the
+    stage pipeline reorders EMISSION, never math (round-4 staggered
+    MXU/VPU overlap experiment)."""
+    model, params, dims = make_model(num_steps=20)
+    B = 2 * TILE_B
+    cond = jnp.zeros((B, dims.condition_dim))
+    rng = jax.random.PRNGKey(3)
+    base = FusedSampler(model, params, tile_b=TILE_B, interpret=True,
+                        ddim_steps=5)
+    inter = FusedSampler(model, params, tile_b=TILE_B, interpret=True,
+                         ddim_steps=5, interleave=mode)
+    assert inter.interleave == mode
+    a = np.asarray(base.sample(cond, rng))
+    b = np.asarray(inter.sample(cond, rng))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_interleave_mode_validation():
+    model, params, dims = make_model(num_steps=6)
+    with pytest.raises(ValueError, match="interleave"):
+        FusedSampler(model, params, tile_b=TILE_B, interpret=True,
+                     interleave="bogus")
+    # True normalizes to the round-3 ping-pong mode.
+    s = FusedSampler(model, params, tile_b=TILE_B, interpret=True,
+                     interleave=True)
+    assert s.interleave == "pingpong"
