@@ -67,6 +67,13 @@ def main():
     cfg.training.num_epochs = int(os.environ.get("SLA_EPOCHS", 20))
     cfg.training.patience = cfg.training.num_epochs
     cfg.training.save_dir = str(workdir / "ckpt")
+    ar = bool(os.environ.get("SLA_AR"))
+    if ar:
+        # AR-mutation-head checkpoint: serving self-configures from the
+        # checkpoint metadata (tests/test_serving.py); this measures the
+        # sequential FVSBN bit draw under the same <1 s SLA (round-3
+        # VERDICT item 7).
+        cfg.model.diffusion.ar_mutation_head = True
     # DDIM requests use the production preset's 50 strided steps
     # (config/production.yaml); DDPM always runs the full 1000.
     cfg.generation.sampling_steps = 50
@@ -86,6 +93,7 @@ def main():
         "device": jax.devices()[0].device_kind,
         "requests_per_pair": n_req,
         "ddim_steps": 50,
+        "ar_mutation_head": ar,
         "pairs": {},
     }
     sla_ok = True
@@ -120,7 +128,8 @@ def main():
     }
     report["sla_p95_under_1s"] = sla_ok
 
-    out = Path(os.environ.get("SLA_OUT", REPO / "SERVING_SLA.json"))
+    default_out = REPO / ("SERVING_SLA_AR.json" if ar else "SERVING_SLA.json")
+    out = Path(os.environ.get("SLA_OUT", default_out))
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
