@@ -416,6 +416,15 @@ class GenerationConfig:
     # "merged" are measured-no-better experimental layouts
     # (ops/fused_sampler.py FusedSampler.gn_mode).
     fused_gn_mode: str = "bf16"
+    # Loop-interleave mode inside the fused kernel: "none" (default,
+    # sequential tile), "staggered" (two half-tiles offset by half a
+    # residual block so one half's GN-stats tail overlaps the other
+    # half's MXU dots — the round-4 GN-overlap experiment), "pingpong"
+    # (two half-tiles alternating whole steps). Selectable so the
+    # hardware measurement (scripts/bench_kernel_variants.py,
+    # BENCH_VARIANTS.json) is reproducible and a winning variant can be
+    # flipped on without code changes.
+    fused_interleave: str = "none"
     # Calibration of generated cohorts against the training cohort:
     #   "copula_joint" — one latent-Gaussian factor over the FULL
     #                [mutations | continuous] patient vector (Gram of

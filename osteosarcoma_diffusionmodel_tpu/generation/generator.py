@@ -140,6 +140,7 @@ class SyntheticPatientGenerator:
             from ..ops.fused_sampler import maybe_fused_sampler
 
             quant = getattr(self.config.generation, "fused_quantize", "none")
+            il = getattr(self.config.generation, "fused_interleave", "none")
             self._fused_cache[ddim_steps] = (
                 maybe_fused_sampler(
                     self.model, params, ddim_steps=ddim_steps,
@@ -147,6 +148,7 @@ class SyntheticPatientGenerator:
                     gn_mode=getattr(
                         self.config.generation, "fused_gn_mode", "bf16"
                     ),
+                    interleave=False if il in ("none", None) else il,
                 )
                 or False
             )

@@ -993,7 +993,8 @@ class FusedSampler:
 def maybe_fused_sampler(model, params, tile_b: int = 512,
                         ddim_steps: Optional[int] = None,
                         quantize: Optional[str] = None,
-                        gn_mode: str = "bf16"):
+                        gn_mode: str = "bf16",
+                        interleave=False):
     """FusedSampler when the config AND backend support it, else None.
 
     The compiled kernel is Mosaic/TPU-only; on CPU (tests, virtual
@@ -1004,14 +1005,17 @@ def maybe_fused_sampler(model, params, tile_b: int = 512,
     `gn_mode` "f32" restores the round-2 exact-flax-parity GroupNorm
     stats (the "bf16" default is +4.7% throughput but changes
     fixed-seed numerics vs round-2 goldens — config path:
-    generation.fused_gn_mode).
+    generation.fused_gn_mode); `interleave` ("staggered"/"pingpong")
+    selects the two-half-tile loop layouts (config path:
+    generation.fused_interleave).
     """
     if jax.devices()[0].platform not in ("tpu", "axon"):
         return None
     if not supports_fused(model):
         return None
     sampler = FusedSampler(model, params, tile_b=tile_b, ddim_steps=ddim_steps,
-                           quantize=quantize, gn_mode=gn_mode)
+                           quantize=quantize, gn_mode=gn_mode,
+                           interleave=interleave)
     # Fall back cleanly when the working set can't fit VMEM (e.g. a
     # much wider denoiser than the flagship config) instead of failing
     # at compile time.

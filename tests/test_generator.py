@@ -157,6 +157,7 @@ def test_fused_gn_mode_plumbs_from_config(monkeypatch):
     cfg.model.constraints.enabled = False
     cfg.generation.fused_gn_mode = "f32"
     cfg.generation.fused_quantize = "out"
+    cfg.generation.fused_interleave = "staggered"
     dims = cfg.freeze_dims(5, 12, 3, ["survival_days_norm",
                                       "event_occurred",
                                       "metastasis_at_diagnosis"])
@@ -174,3 +175,4 @@ def test_fused_gn_mode_plumbs_from_config(monkeypatch):
     assert gen._get_fused(params) is False  # None -> cached as False
     assert seen["gn_mode"] == "f32"
     assert seen["quantize"] == "out"
+    assert seen["interleave"] == "staggered"
