@@ -7,12 +7,16 @@ survival curves per scenario, validation metric bars, and the text
 summary report with the notebook's pass/review/fail thresholds at
 0.85 / 0.70.
 
-Environment-gated substitutions (documented divergences):
-- UMAP -> PCA 2-D embedding when `umap-learn` is absent (this image),
-  same plot semantics
-- lifelines -> a built-in numpy Kaplan-Meier estimator
-  (`kaplan_meier`), verified against the closed-form product-limit
-  definition in tests
+Library-free implementations (native, not substitutes):
+- UMAP: umap-learn is used when installed; otherwise the native
+  implementation of the same algorithm runs (analysis/embedding.py —
+  fuzzy simplicial set, (a,b) curve fit, sampled cross-entropy
+  layout). PCA remains only as the degenerate-input fallback
+  (cohorts too small for a neighbor graph).
+- lifelines: product-limit estimator with Greenwood 95% bands and a
+  two-sample log-rank test (analysis/survival.py), verified against
+  closed-form values in tests; lifelines itself is consulted for
+  parity when installed.
 Figures require matplotlib (present here) and are skipped gracefully
 without it; the text report never needs it.
 """
@@ -25,6 +29,14 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
+
+from .embedding import umap_embed
+from .survival import kaplan_meier, kaplan_meier_full, logrank_test
+
+__all__ = [
+    "AnalysisReport", "embed_2d", "grade", "kaplan_meier",
+    "write_summary_report",
+]
 
 logger = logging.getLogger(__name__)
 
@@ -45,38 +57,12 @@ def _matplotlib():
 
 
 # ----------------------------------------------------------------------
-# Kaplan-Meier (lifelines replacement)
-# ----------------------------------------------------------------------
-def kaplan_meier(
-    times: np.ndarray, events: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Product-limit survival estimator.
-
-    Returns (event_times, S(t)) with S evaluated after each distinct
-    event time: S(t) = prod_{t_i <= t} (1 - d_i / n_i).
-    """
-    times = np.asarray(times, np.float64)
-    events = np.asarray(events).astype(bool)
-    order = np.argsort(times)
-    times, events = times[order], events[order]
-
-    uniq = np.unique(times[events]) if events.any() else np.array([])
-    surv = []
-    s = 1.0
-    n = len(times)
-    for t in uniq:
-        at_risk = np.sum(times >= t)
-        deaths = np.sum((times == t) & events)
-        s *= 1.0 - deaths / at_risk
-        surv.append(s)
-    return uniq, np.asarray(surv)
-
-
-# ----------------------------------------------------------------------
-# Embedding (umap replacement)
+# Embedding
 # ----------------------------------------------------------------------
 def embed_2d(real: np.ndarray, synthetic: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """2-D embedding of real + synthetic: UMAP when available, else PCA."""
+    """2-D embedding of real + synthetic: umap-learn when installed,
+    else the native UMAP (analysis/embedding.py; PCA only for cohorts
+    too small for a neighbor graph)."""
     combined = np.concatenate([real, synthetic], axis=0)
     try:
         import umap  # noqa: F401
@@ -84,9 +70,7 @@ def embed_2d(real: np.ndarray, synthetic: np.ndarray) -> Tuple[np.ndarray, np.nd
         reducer = umap.UMAP(n_components=2, random_state=0)
         emb = reducer.fit_transform(combined)
     except ImportError:
-        centered = combined - combined.mean(axis=0, keepdims=True)
-        _, _, vt = np.linalg.svd(centered, full_matrices=False)
-        emb = centered @ vt[:2].T
+        emb = umap_embed(combined, seed=0)
     return emb[: len(real)], emb[len(real):]
 
 
@@ -252,20 +236,44 @@ class AnalysisReport:
     def km_curves(
         self, scenario_survival: Dict[str, Tuple[np.ndarray, np.ndarray]]
     ) -> Optional[Path]:
-        """Kaplan-Meier curves per scenario: {name: (times, events)}."""
+        """Kaplan-Meier curves per scenario: {name: (times, events)}.
+
+        Each curve carries its Greenwood 95% band; with exactly two
+        scenarios the log-rank p-value is annotated (the lifelines
+        rendering the reference notebook shows, natively)."""
         plt = _matplotlib()
         if plt is None:
             return None
         fig, ax = plt.subplots(figsize=(7, 5))
         for name, (times, events) in scenario_survival.items():
-            t, s = kaplan_meier(times, events)
-            if len(t) == 0:
+            curve = kaplan_meier_full(times, events)
+            if len(curve.times) == 0:
                 continue
-            ax.step(np.concatenate([[0], t]), np.concatenate([[1.0], s]),
+            t = np.concatenate([[0], curve.times])
+            ax.step(t, np.concatenate([[1.0], curve.survival]),
                     where="post", label=name)
+            ax.fill_between(
+                t,
+                np.concatenate([[1.0], curve.ci_low]),
+                np.concatenate([[1.0], curve.ci_high]),
+                step="post", alpha=0.15,
+            )
+        groups = [
+            (n, te) for n, te in scenario_survival.items()
+            if np.asarray(te[1]).astype(bool).any()
+        ]
+        if len(groups) == 2:
+            (na, (ta, ea)), (nb, (tb, eb)) = groups
+            lr = logrank_test(ta, ea, tb, eb)
+            ax.text(
+                0.02, 0.04,
+                f"log-rank {na} vs {nb}: "
+                f"chi2={lr.statistic:.2f}, p={lr.p_value:.3g}",
+                transform=ax.transAxes, fontsize=8,
+            )
         ax.set_xlabel("Days")
         ax.set_ylabel("Survival probability")
-        ax.set_title("Kaplan-Meier survival by scenario")
+        ax.set_title("Kaplan-Meier survival by scenario (95% CI)")
         ax.set_ylim(0, 1.05)
         ax.legend(fontsize=8)
         out = self._save(fig, "kaplan_meier.png")

@@ -136,3 +136,143 @@ def test_kaplan_meier_matches_lifelines_or_hand_value():
         np.testing.assert_allclose(
             s, [6 / 7, 5 / 7, 5 / 7 * 3 / 4, 5 / 7 * 3 / 4 * 2 / 3]
         )
+
+
+# ----------------------------------------------------------------------
+# Native UMAP (analysis/embedding.py)
+# ----------------------------------------------------------------------
+def test_find_ab_params_default_matches_umap_learn():
+    """umap-learn's published fit for (min_dist=0.1, spread=1.0) is
+    a=1.5769, b=0.8951; the native Gauss-Newton fit must land there."""
+    from osteosarcoma_diffusionmodel_tpu.analysis.embedding import (
+        find_ab_params,
+    )
+
+    a, b = find_ab_params(0.1, 1.0)
+    assert abs(a - 1.577) < 0.05
+    assert abs(b - 0.895) < 0.02
+
+
+def test_umap_preserves_cluster_structure(rng):
+    """Two well-separated 30-D blobs must stay separated in the 2-D
+    layout — the property PCA shares but a broken neighbor graph or
+    diverging layout would lose."""
+    from osteosarcoma_diffusionmodel_tpu.analysis.embedding import (
+        umap_embed,
+    )
+
+    a = rng.normal(size=(60, 30)) + 5.0
+    b = rng.normal(size=(60, 30)) - 5.0
+    emb = umap_embed(np.concatenate([a, b]), n_epochs=100, seed=1)
+    ea, eb = emb[:60], emb[60:]
+    centroid_gap = np.linalg.norm(ea.mean(0) - eb.mean(0))
+    spread = 0.5 * (
+        np.linalg.norm(ea - ea.mean(0), axis=1).mean()
+        + np.linalg.norm(eb - eb.mean(0), axis=1).mean()
+    )
+    assert centroid_gap > 2.0 * spread
+
+
+def test_umap_deterministic_under_seed(rng):
+    from osteosarcoma_diffusionmodel_tpu.analysis.embedding import (
+        umap_embed,
+    )
+
+    x = rng.normal(size=(50, 8))
+    e1 = umap_embed(x, n_epochs=30, seed=7)
+    e2 = umap_embed(x, n_epochs=30, seed=7)
+    np.testing.assert_array_equal(e1, e2)
+
+
+def test_umap_tiny_cohort_falls_back_to_pca():
+    from osteosarcoma_diffusionmodel_tpu.analysis.embedding import (
+        umap_embed,
+    )
+
+    emb = umap_embed(np.eye(3))
+    assert emb.shape == (3, 2)
+
+
+def test_fuzzy_graph_is_symmetric(rng):
+    from osteosarcoma_diffusionmodel_tpu.analysis.embedding import (
+        fuzzy_simplicial_set,
+    )
+
+    x = rng.normal(size=(40, 6))
+    rows, cols, vals = fuzzy_simplicial_set(x, 10)
+    lut = {(i, j): v for i, j, v in zip(rows, cols, vals)}
+    for (i, j), v in lut.items():
+        assert (j, i) in lut
+        np.testing.assert_allclose(lut[(j, i)], v, rtol=1e-10)
+    assert np.all(vals > 0) and np.all(vals <= 1.0 + 1e-12)
+
+
+# ----------------------------------------------------------------------
+# Survival statistics (analysis/survival.py)
+# ----------------------------------------------------------------------
+def test_greenwood_ci_hand_value():
+    """times [1,2,3,4], events [1,1,0,1]: at t=2, S=0.5 with Greenwood
+    sum 1/12 + 1/6 -> Var=0.0625; the log-minus-log 95% band is
+    (0.0578, 0.8449) (hand-computed)."""
+    from osteosarcoma_diffusionmodel_tpu.analysis.survival import (
+        kaplan_meier_full,
+    )
+
+    c = kaplan_meier_full([1.0, 2.0, 3.0, 4.0], [1, 1, 0, 1])
+    np.testing.assert_array_equal(c.times, [1.0, 2.0, 4.0])
+    np.testing.assert_allclose(c.survival, [0.75, 0.5, 0.0])
+    np.testing.assert_allclose(c.ci_low[1], 0.05788, atol=2e-4)
+    np.testing.assert_allclose(c.ci_high[1], 0.84489, atol=2e-4)
+    # Band brackets the estimate and stays in [0, 1].
+    assert np.all(c.ci_low <= c.survival + 1e-12)
+    assert np.all(c.survival <= c.ci_high + 1e-12)
+    assert np.all((c.ci_low >= 0) & (c.ci_high <= 1))
+
+
+def test_logrank_hand_value():
+    """A=[1,2,3], B=[4,5,6], all events: O_A=3, E_A=1.15, V=0.6775 ->
+    chi2 = 1.85^2/0.6775 = 5.0517, p = erfc(sqrt(chi2/2)) = 0.0246."""
+    from osteosarcoma_diffusionmodel_tpu.analysis.survival import (
+        logrank_test,
+    )
+
+    r = logrank_test([1, 2, 3], [1, 1, 1], [4, 5, 6], [1, 1, 1])
+    np.testing.assert_allclose(r.statistic, 5.0517, atol=1e-3)
+    np.testing.assert_allclose(r.p_value, 0.0246, atol=1e-3)
+    np.testing.assert_allclose(r.observed_a, 3.0)
+    np.testing.assert_allclose(r.expected_a, 1.15, atol=1e-10)
+
+
+def test_logrank_identical_groups_not_significant(rng):
+    from osteosarcoma_diffusionmodel_tpu.analysis.survival import (
+        logrank_test,
+    )
+
+    t = rng.exponential(100.0, size=200)
+    e = rng.random(200) < 0.7
+    r = logrank_test(t[:100], e[:100], t[100:], e[100:])
+    assert r.p_value > 0.01
+
+
+def test_median_survival():
+    from osteosarcoma_diffusionmodel_tpu.analysis.survival import (
+        median_survival,
+    )
+
+    # S drops to 0.5 exactly at the 2nd event of 4 subjects.
+    assert median_survival([1, 2, 3, 4], [1, 1, 1, 1]) == 2.0
+    assert np.isnan(median_survival([1, 2, 3], [0, 0, 0]))
+
+
+def test_km_curves_ci_and_logrank_annotation(tmp_path, rng):
+    """km_curves renders Greenwood bands + the two-scenario log-rank
+    annotation without error and writes the figure."""
+    cfg = Config()
+    cfg.output.figures_dir = str(tmp_path)
+    report = AnalysisReport(cfg, figures_dir=tmp_path)
+    surv = {
+        "good": (rng.exponential(900.0, 40), np.ones(40)),
+        "poor": (rng.exponential(200.0, 40), np.ones(40)),
+    }
+    out = report.km_curves(surv)
+    assert out is not None and out.exists()
