@@ -185,8 +185,16 @@ def optimize_layout(
         i, j = rows[live], cols[live]
         dy = y[i] - y[j]
         r2 = np.einsum("ij,ij->i", dy, dy)
-        # attractive: grad log Phi
-        coef = (-2.0 * a * b * r2 ** (b - 1.0)) / (1.0 + a * r2**b)
+        # attractive: grad log Phi. Coincident points (exact-duplicate
+        # rows, the very case the cohort plot must expose) make
+        # r2**(b-1) blow up with b<1 — zero force there, as umap-learn
+        # does with its dist>0 branch.
+        r2s = np.where(r2 > 0.0, r2, 1.0)
+        coef = np.where(
+            r2 > 0.0,
+            (-2.0 * a * b * r2s ** (b - 1.0)) / (1.0 + a * r2s**b),
+            0.0,
+        )
         g = np.clip(coef[:, None] * dy, -4.0, 4.0)
         upd = np.zeros_like(y)
         np.add.at(upd, i, g)

@@ -35,7 +35,7 @@ from .survival import kaplan_meier, kaplan_meier_full, logrank_test
 
 __all__ = [
     "AnalysisReport", "embed_2d", "grade", "kaplan_meier",
-    "write_summary_report",
+    "novelty_verdict", "write_summary_report",
 ]
 
 logger = logging.getLogger(__name__)
@@ -85,6 +85,34 @@ def grade(score: float) -> str:
     return "FAIL"
 
 
+def novelty_verdict(validation_results: Dict[str, float]) -> Optional[str]:
+    """Memorization verdict from the novelty-audit metrics, or None
+    when the audit wasn't run.
+
+    The single source of truth for the thresholds — the notebook's
+    novelty cell and write_summary_report both call this, so the two
+    verdicts cannot drift apart. A distributional score can be earned
+    by re-rendering training patients; the novelty audit rules that
+    out. q05 vs its split-half floor catches a memorized SUBPOPULATION
+    that the medians average away (validator.novelty_metrics).
+    """
+    nn_ratio = validation_results.get("nn_distance_ratio")
+    if nn_ratio is None:
+        return None
+    dup = validation_results.get("exact_duplicate_rate", 0.0)
+    q05 = validation_results.get("nn_loo_ratio_q05")
+    q05_floor = validation_results.get("nn_loo_ratio_q05_floor")
+    q05_crushed = (
+        q05 is not None and q05_floor is not None
+        and q05 < 0.25 * q05_floor
+    )
+    if dup > 0.01 or nn_ratio < 0.2 or q05_crushed:
+        return "MEMORIZATION SUSPECTED"
+    if nn_ratio < 0.5:
+        return "REVIEW (synthetic sits close to training patients)"
+    return "NOVEL (synthetic patients are not re-renders)"
+
+
 def write_summary_report(
     validation_results: Dict[str, float], output_path: Path
 ) -> str:
@@ -104,25 +132,12 @@ def write_summary_report(
             f"(PASS >= {PASS_THRESHOLD}, REVIEW >= {REVIEW_THRESHOLD}, "
             f"FAIL below)"
         )
-    nn_ratio = validation_results.get("nn_distance_ratio")
-    if nn_ratio is not None:
+    verdict = novelty_verdict(validation_results)
+    if verdict is not None:
+        nn_ratio = validation_results["nn_distance_ratio"]
         dup = validation_results.get("exact_duplicate_rate", 0.0)
         q05 = validation_results.get("nn_loo_ratio_q05")
         q05_floor = validation_results.get("nn_loo_ratio_q05_floor")
-        # A distributional score can be earned by re-rendering training
-        # patients; the novelty audit is what rules that out. q05 vs
-        # its split-half floor catches a memorized SUBPOPULATION that
-        # the medians average away (validator.novelty_metrics).
-        q05_crushed = (
-            q05 is not None and q05_floor is not None
-            and q05 < 0.25 * q05_floor
-        )
-        if dup > 0.01 or nn_ratio < 0.2 or q05_crushed:
-            verdict = "MEMORIZATION SUSPECTED"
-        elif nn_ratio < 0.5:
-            verdict = "REVIEW (synthetic sits close to training patients)"
-        else:
-            verdict = "NOVEL (synthetic patients are not re-renders)"
         lines.append("")
         q05_txt = (
             f", nn_loo_ratio_q05={q05:.3f} (floor {q05_floor:.3f})"

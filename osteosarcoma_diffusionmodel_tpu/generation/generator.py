@@ -189,9 +189,7 @@ class SyntheticPatientGenerator:
     ) -> jnp.ndarray:
         gen = self.config.generation
         if getattr(self.model, "latent_factor_dim", 0) > 0:
-            if self.data_stats is None or "data_matrix" not in (
-                self.data_stats or {}
-            ):
+            if self.data_stats is None or "data_matrix" not in self.data_stats:
                 # Without the cohort matrix the latent prior cannot be
                 # fitted; silently skipping used to surface later as an
                 # opaque condition-width mismatch inside the denoiser

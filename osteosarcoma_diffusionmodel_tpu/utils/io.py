@@ -9,6 +9,7 @@ format.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import pandas as pd
@@ -42,3 +43,16 @@ def write_matrix_csv(
 ) -> None:
     """Write with compact float formatting (~40% smaller at f32 data)."""
     df.to_csv(path, index=index, float_format=FLOAT_FORMAT)
+
+
+def env_flag(name: str, default: bool = False) -> bool:
+    """Boolean env knob: '' / '0' / 'false' / 'no' / 'off' are OFF.
+
+    Bare truthiness (`bool(os.environ.get(...))`) silently turns a
+    knob ON for `NAME=0` or `NAME=false` — a driver writing `SLA_AR=0`
+    must get the default preset, not the AR one.
+    """
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() not in ("", "0", "false", "no", "off")

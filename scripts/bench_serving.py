@@ -38,6 +38,7 @@ from osteosarcoma_diffusionmodel_tpu.cli import (  # noqa: E402
     train_model,
 )
 from osteosarcoma_diffusionmodel_tpu.config import Config  # noqa: E402
+from osteosarcoma_diffusionmodel_tpu.utils.io import env_flag  # noqa: E402
 from osteosarcoma_diffusionmodel_tpu.data.dataset import (  # noqa: E402
     make_dummy_data,
 )
@@ -67,7 +68,7 @@ def main():
     cfg.training.num_epochs = int(os.environ.get("SLA_EPOCHS", 20))
     cfg.training.patience = cfg.training.num_epochs
     cfg.training.save_dir = str(workdir / "ckpt")
-    ar = bool(os.environ.get("SLA_AR"))
+    ar = env_flag("SLA_AR")
     if ar:
         # AR-mutation-head checkpoint: serving self-configures from the
         # checkpoint metadata (tests/test_serving.py); this measures the

@@ -24,6 +24,7 @@ from osteosarcoma_diffusionmodel_tpu.cli import (  # noqa: E402
     validate_synthetic_patients,
 )
 from osteosarcoma_diffusionmodel_tpu.config import Config  # noqa: E402
+from osteosarcoma_diffusionmodel_tpu.utils.io import env_flag  # noqa: E402
 from osteosarcoma_diffusionmodel_tpu.data.dataset import make_dummy_data  # noqa: E402
 
 
@@ -84,7 +85,7 @@ def main():
         cfg.model.diffusion.low_rank_sigma_scope = os.environ[
             "DEMO_LOWRANK_SCOPE"
         ]
-    if os.environ.get("DEMO_AR"):  # autoregressive (FVSBN) mutation head
+    if env_flag("DEMO_AR"):  # autoregressive (FVSBN) mutation head
         cfg.model.diffusion.ar_mutation_head = True
     if "DEMO_AR_CONTEXT" in os.environ:  # pathways | continuous | none
         cfg.model.diffusion.ar_context = os.environ["DEMO_AR_CONTEXT"]

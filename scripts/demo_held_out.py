@@ -39,6 +39,7 @@ from osteosarcoma_diffusionmodel_tpu.cli import (  # noqa: E402
     validate_synthetic_patients,
 )
 from osteosarcoma_diffusionmodel_tpu.config import Config  # noqa: E402
+from osteosarcoma_diffusionmodel_tpu.utils.io import env_flag  # noqa: E402
 from osteosarcoma_diffusionmodel_tpu.data.dataset import make_dummy_data  # noqa: E402
 from osteosarcoma_diffusionmodel_tpu.validation.validator import (  # noqa: E402
     BiologicalValidator,
@@ -99,7 +100,7 @@ def main():
         cfg.generation.calibrate_marginals = False if v == "false" else v
     if "DEMO_BLOCK" in os.environ:  # epochs per jitted dispatch
         cfg.training.epochs_per_dispatch = int(os.environ["DEMO_BLOCK"])
-    if os.environ.get("DEMO_AR"):  # autoregressive (FVSBN) mutation head
+    if env_flag("DEMO_AR"):  # autoregressive (FVSBN) mutation head
         cfg.model.diffusion.ar_mutation_head = True
     cfg.generation.batch_scenarios = True
     cfg.training.save_dir = str(workdir / "ckpt")

@@ -162,7 +162,10 @@ def main():
         seed=0,
     )
     out = {"n_cohort": N_COHORT, "epochs": EPOCHS, "block": BLOCK,
-           "n_gen": N_GEN}
+           "n_gen": N_GEN, "n_expression": N_EXPR,
+           # Stamp the backend so CPU smoke artifacts can't be read as
+           # TPU measurements.
+           "platform": jax.devices()[0].platform}
 
     for ar in (False, True):
         tag = "ar" if ar else "default"

@@ -276,3 +276,42 @@ def test_km_curves_ci_and_logrank_annotation(tmp_path, rng):
     }
     out = report.km_curves(surv)
     assert out is not None and out.exists()
+
+
+def test_umap_survives_exact_duplicate_rows(rng):
+    """A duplicated row (zero-distance edge) must not NaN-poison the
+    layout: r2**(b-1) with b<1 is inf at r2=0; umap-learn zeroes the
+    attractive force there and so do we (round-4 review finding)."""
+    from osteosarcoma_diffusionmodel_tpu.analysis.embedding import (
+        umap_embed,
+    )
+
+    x = rng.normal(size=(50, 20))
+    x[31] = x[7]  # exact duplicate — the memorization-display case
+    emb = umap_embed(x, n_epochs=25, seed=3)
+    assert emb.shape == (50, 2)
+    assert np.isfinite(emb).all()
+
+
+def test_novelty_verdict_shared_thresholds():
+    """The notebook and the written report consume the same helper."""
+    from osteosarcoma_diffusionmodel_tpu.analysis.report import (
+        novelty_verdict,
+    )
+
+    assert novelty_verdict({}) is None
+    assert novelty_verdict(
+        {"nn_distance_ratio": 0.9, "exact_duplicate_rate": 0.0}
+    ).startswith("NOVEL")
+    assert novelty_verdict(
+        {"nn_distance_ratio": 0.9, "exact_duplicate_rate": 0.5}
+    ) == "MEMORIZATION SUSPECTED"
+    assert novelty_verdict(
+        {"nn_distance_ratio": 0.35, "exact_duplicate_rate": 0.0}
+    ).startswith("REVIEW")
+    # A crushed q05 vs its floor flags a memorized subpopulation even
+    # when the medians look healthy.
+    assert novelty_verdict({
+        "nn_distance_ratio": 0.9, "exact_duplicate_rate": 0.0,
+        "nn_loo_ratio_q05": 0.1, "nn_loo_ratio_q05_floor": 0.8,
+    }) == "MEMORIZATION SUSPECTED"

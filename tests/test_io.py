@@ -38,3 +38,17 @@ def test_compact_floats_smaller(tmp_path, rng):
     assert (tmp_path / "compact.csv").stat().st_size < (
         tmp_path / "full.csv"
     ).stat().st_size
+
+
+def test_env_flag_semantics(monkeypatch):
+    from osteosarcoma_diffusionmodel_tpu.utils.io import env_flag
+
+    monkeypatch.delenv("OSDM_FLAG_X", raising=False)
+    assert env_flag("OSDM_FLAG_X") is False
+    assert env_flag("OSDM_FLAG_X", default=True) is True
+    for off in ("", "0", "false", "False", "no", "off", " 0 "):
+        monkeypatch.setenv("OSDM_FLAG_X", off)
+        assert env_flag("OSDM_FLAG_X") is False, repr(off)
+    for on in ("1", "true", "yes", "on", "anything"):
+        monkeypatch.setenv("OSDM_FLAG_X", on)
+        assert env_flag("OSDM_FLAG_X") is True, repr(on)

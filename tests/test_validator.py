@@ -232,7 +232,7 @@ def test_exact_duplicates_found_at_high_dim(validator, rng):
     assert res2["nn_loo_ratio_q05"] < 0.01
 
 
-def test_full_validator_positive_control(validator, rng):
+def test_full_validator_positive_control(validator, rng, tmp_path):
     """VERDICT round-3 item 5: a deliberately-memorizing generator
     (bootstrap resampler + tiny noise) pushed through the FULL
     validator must be flagged by the novelty suite while an honest
@@ -289,9 +289,8 @@ def test_full_validator_positive_control(validator, rng):
         "nn_loo_ratio_q05_floor"]
 
     # And the report verdict must read the same way.
-    rep_mem = write_summary_report(res_mem, tmp := __import__(
-        "pathlib").Path("/tmp/osdm_test_reports/mem.txt"))
-    rep_hon = write_summary_report(res_hon, tmp.with_name("hon.txt"))
+    rep_mem = write_summary_report(res_mem, tmp_path / "mem.txt")
+    rep_hon = write_summary_report(res_hon, tmp_path / "hon.txt")
     assert "MEMORIZATION SUSPECTED" in rep_mem
     assert "NOVEL" in rep_hon
 
