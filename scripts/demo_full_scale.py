@@ -17,6 +17,18 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+import os  # noqa: E402
+
+import jax  # noqa: E402
+
+if os.environ.get("OSDM_FORCE_CPU"):
+    # The axon sitecustomize force-appends its platform regardless of
+    # JAX_PLATFORMS; config-update after import is the only reliable
+    # CPU pin for standalone scripts. A CPU demo is a tunnel-outage
+    # hedge: the validation metrics are hardware-independent, only the
+    # timings change (the JSON carries a platform stamp either way).
+    jax.config.update("jax_platforms", "cpu")
+
 from osteosarcoma_diffusionmodel_tpu.cli import (  # noqa: E402
     compute_pathway_features,
     generate_synthetic_patients,
@@ -34,14 +46,13 @@ def main():
     )
 
     enable_compilation_cache()
-    import os
     import tempfile
 
     workdir = Path(tempfile.mkdtemp(prefix="osdm_demo_"))
     os.chdir(workdir)
     print(f"workdir: {workdir}", flush=True)
 
-    timings = {}
+    timings = {"platform": jax.devices()[0].platform}
     t0 = time.perf_counter()
     n_samples = int(os.environ.get("DEMO_N", 100))
     demo_seed = int(os.environ.get("DEMO_SEED", 0))

@@ -29,6 +29,14 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+import jax  # noqa: E402
+
+if os.environ.get("OSDM_FORCE_CPU"):
+    # Reliable CPU pin on axon-sitecustomize machines (see
+    # scripts/demo_full_scale.py); a tunnel-outage hedge — the
+    # validation metrics are hardware-independent.
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
@@ -79,7 +87,8 @@ def main():
     print(f"workdir: {workdir}", flush=True)
 
     n_half = int(os.environ.get("DEMO_N", 100))
-    out = {"n_per_half": n_half}
+    out = {"n_per_half": n_half,
+           "platform": jax.devices()[0].platform}
 
     t0 = time.perf_counter()
     make_dummy_data(
