@@ -19,10 +19,15 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
+# Each preset may have a CPU-hedge artifact (produced during axon
+# tunnel outages; same pipeline/metrics, different timings — the JSON
+# carries a "platform" stamp). The newest existing artifact wins: a
+# fresh post-fix CPU run outranks a stale pre-fix TPU one, and vice
+# versa once the TPU queue refreshes it.
 DEFAULT_FILES = [
-    ("copula_joint (no AR)", "DEMO_N400.json"),
-    ("AR raw", "DEMO_AR_RAW.json"),
-    ("AR + copula_joint", "DEMO_AR_JOINT.json"),
+    ("copula_joint (no AR)", ["DEMO_N400.json"]),
+    ("AR raw", ["DEMO_AR_RAW.json", "DEMO_AR_RAW_CPU.json"]),
+    ("AR + copula_joint", ["DEMO_AR_JOINT.json", "DEMO_AR_JOINT_CPU.json"]),
 ]
 
 KEY_METRICS = [
@@ -41,10 +46,16 @@ KEY_METRICS = [
 
 def main():
     cols = []
-    for label, name in DEFAULT_FILES:
-        p = REPO / name
-        if p.exists():
-            cols.append((label, json.loads(p.read_text())))
+    for label, names in DEFAULT_FILES:
+        existing = [REPO / n for n in names if (REPO / n).exists()]
+        if not existing:
+            continue
+        p = max(existing, key=lambda q: q.stat().st_mtime)
+        d = json.loads(p.read_text())
+        plat = d.get("platform")
+        if plat and plat not in ("tpu", "axon"):
+            label = f"{label} [{plat}]"
+        cols.append((label, d))
     for extra in sys.argv[1:]:
         cols.append((Path(extra).stem, json.loads(Path(extra).read_text())))
     if not cols:
