@@ -24,16 +24,45 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 
-# Outage tolerance (round-3 VERDICT weak #1 / next #3): the tunneled
-# TPU backend's first device op costs 26-537 s when healthy and either
-# raises UNAVAILABLE or blocks indefinitely during an axon outage. The
-# driver's round-end bench must not lose the round's number to one bad
-# init, so the default entry point runs the measurement in a child
-# process with a hard per-attempt timeout and bounded retries, and on
-# persistent failure prints a structured JSON line instead of a
-# traceback.
-_ATTEMPT_TIMEOUTS = (1200, 900, 900)  # init worst-case 537 s + compile
-_BACKOFFS = (90, 180)
+# Outage tolerance (round-3 VERDICT weak #1; retry schedule resized in
+# round 5 after round-4's lesson): the tunneled TPU backend's first
+# device op costs 26-537 s when healthy and either raises UNAVAILABLE
+# or blocks indefinitely during an axon outage. The driver's round-end
+# bench must not lose the round's number to one bad init, so the
+# default entry point runs the measurement in a child process with a
+# hard per-attempt timeout and bounded retries, and on persistent
+# failure prints a structured JSON line instead of a traceback.
+#
+# The whole schedule MUST fit inside the driver's own ~1200 s budget —
+# round 4 used (1200, 900, 900)+backoffs, so during an outage attempt 1
+# alone ate the driver window and the driver recorded rc=124 instead of
+# the structured error line (BENCH_r04.json). Worst case now:
+# 650 + 20 + 350 + ε ≈ 1020 s < 1100. Attempt 1's 650 s still covers
+# the measured healthy worst case (537 s init + 20-40 s compile +
+# ~30 s measurement); attempt 2 catches a transient first-attempt
+# failure on a healthy tunnel.
+_ATTEMPT_TIMEOUTS = (650, 350)
+_BACKOFFS = (20,)
+
+
+def _result_line(stdout: str):
+    """Last stdout line that parses as the benchmark result.
+
+    Requires the 'metric' key (round-4 ADVICE: a stray single-line
+    dict-like log from the child must not be published as the round's
+    number)."""
+    result = None
+    for ln in stdout.splitlines():
+        ln = ln.strip()
+        if not (ln.startswith("{") and ln.endswith("}")):
+            continue
+        try:
+            obj = json.loads(ln)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            result = ln
+    return result
 
 
 def _run_supervised() -> int:
@@ -49,12 +78,9 @@ def _run_supervised() -> int:
         except subprocess.TimeoutExpired:
             last_err = f"attempt {i + 1} timed out after {attempt_timeout}s"
         else:
-            json_lines = [
-                ln for ln in proc.stdout.splitlines()
-                if ln.startswith("{") and ln.rstrip().endswith("}")
-            ]
-            if proc.returncode == 0 and json_lines:
-                print(json_lines[-1])
+            result = _result_line(proc.stdout)
+            if proc.returncode == 0 and result is not None:
+                print(result)
                 return 0
             tail = (proc.stderr or proc.stdout).strip().splitlines()
             last_err = (

@@ -13,7 +13,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
+if os.environ.get("JAX_PLATFORMS") == "cpu" or os.environ.get("OSDM_FORCE_CPU"):
     # Honor an explicit CPU pin even on machines whose sitecustomize
     # force-registers an accelerator platform at interpreter start
     # (which silently overrides the env var): re-pin via jax.config

@@ -89,8 +89,11 @@ def profile_training(trainer, label: str, out: dict):
     es = history.epoch_seconds
     k = trainer.config.training.epochs_per_dispatch
     # Block mode stores dt/E repeated per epoch; the first block is
-    # compile-inclusive, later blocks are steady.
-    steady = float(np.mean(es[k:])) if len(es) > k else float(np.mean(es))
+    # compile-inclusive, later blocks are steady. With no post-first-
+    # block epochs there IS no steady-state sample — emit None rather
+    # than silently passing the compile-inclusive mean off as steady
+    # (round-4 ADVICE).
+    steady = float(np.mean(es[k:])) if len(es) > k else None
     n_batches = max(
         len(trainer.train_idx)
         // min(trainer.config.training.batch_size, len(trainer.train_idx)),

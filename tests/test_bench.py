@@ -66,20 +66,41 @@ def test_supervisor_retries_then_succeeds(monkeypatch, capsys):
         calls["n"] += 1
         if calls["n"] == 1:
             raise subprocess.TimeoutExpired(cmd="bench", timeout=1)
-        if calls["n"] == 2:
-            return _Proc(
-                1, stderr="RuntimeError: Unable to initialize backend "
-                          "'axon': UNAVAILABLE",
-            )
         return _Proc(0, stdout=good + "\n")
 
     sleeps = []
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
     monkeypatch.setattr(bench.time, "sleep", sleeps.append)
     assert bench._run_supervised() == 0
-    assert calls["n"] == 3
+    assert calls["n"] == 2
     assert sleeps == list(bench._BACKOFFS)
     assert capsys.readouterr().out.strip().splitlines()[-1] == good
+
+
+def test_schedule_fits_driver_budget():
+    """Round-4 lesson: the driver kills bench.py at ~1200 s, so the
+    worst-case supervisor wall-clock (every attempt timing out, all
+    backoffs slept) must leave headroom for the structured error line
+    to reach the driver. Attempt 1 must still cover the measured
+    healthy worst case (537 s init + compile + measurement)."""
+    worst = sum(bench._ATTEMPT_TIMEOUTS) + sum(bench._BACKOFFS)
+    assert worst <= 1100
+    assert bench._ATTEMPT_TIMEOUTS[0] >= 620
+
+
+def test_result_line_requires_metric_key():
+    """Round-4 ADVICE: a stray single-line dict-like log after the
+    metric line must not be published as the round's number."""
+    good = json.dumps({"metric": "m", "value": 1.0, "unit": "u",
+                       "vs_baseline": 1.0})
+    stdout = "\n".join([
+        "warmup noise",
+        good,
+        "{'level': 'WARN', 'msg': 'not json'}",       # not valid JSON
+        '{"cache_hits": 3}',                           # JSON, no metric
+    ])
+    assert bench._result_line(stdout) == good
+    assert bench._result_line("no json here\n") is None
 
 
 def test_supervisor_structured_error_on_persistent_outage(

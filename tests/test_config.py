@@ -45,6 +45,40 @@ def test_repo_config_loads():
     assert cfg.generation.sampler == "ddpm"
 
 
+def test_repo_yaml_matches_code_defaults_on_decision_keys():
+    """The shipped YAML must agree with Config() on the decision-bearing
+    generation/model keys, or future drift silently re-enables retired
+    behavior (round-4 regression: config.yaml pinned 'copula_full' while
+    the code default was 'copula_joint', so the documented entrypoint
+    produced the round-2 n=400 calibration). Intentional overrides must
+    be whitelisted here with a reason."""
+    cfg = Config.from_yaml(REPO / "config" / "config.yaml")
+    default = Config()
+    # No whitelist entries today: the shipped YAML is the production
+    # preset adjudicated by scripts/compare_presets.py.
+    decision_keys = [
+        "generation.calibrate_marginals",
+        "generation.sampler",
+        "generation.fused_sampler",
+        "generation.fused_gn_mode",
+        "generation.fused_interleave",
+        "generation.batch_scenarios",
+        "model.diffusion.ar_mutation_head",
+        "model.diffusion.parameterization",
+        "model.diffusion.learn_sigma",
+        "model.diffusion.low_rank_sigma_dim",
+    ]
+    for path in decision_keys:
+        got, want = cfg, default
+        for part in path.split("."):
+            got, want = getattr(got, part), getattr(want, part)
+        assert got == want, (
+            f"config/config.yaml {path}={got!r} diverges from "
+            f"code default {want!r}; either fix the YAML or whitelist the "
+            f"override here with its justification"
+        )
+
+
 def test_loads_reference_style_yaml(tmp_path):
     """A YAML in the reference's exact schema (incl. keys we ignore)
     must load cleanly."""
