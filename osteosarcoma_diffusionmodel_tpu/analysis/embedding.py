@@ -208,7 +208,14 @@ def optimize_layout(
             coef[k == i] = 0.0
             g = np.clip(coef[:, None] * dyn, -4.0, 4.0)
             np.add.at(upd, i, g)
-        y += alpha * upd
+        # Clip the ACCUMULATED per-point update too (round-4 ADVICE):
+        # per-edge clipping alone lets a node's displacement scale with
+        # its degree (up to 4*degree per axis) because this synchronous
+        # sweep applies one summed update where umap-learn moves the
+        # point after every edge — hubs would oscillate on denser
+        # graphs. +/-4 matches the per-edge bound, i.e. a point moves
+        # at most as far per epoch as one saturated edge would move it.
+        y += alpha * np.clip(upd, -4.0, 4.0)
     return y
 
 

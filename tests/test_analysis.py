@@ -193,6 +193,44 @@ def test_umap_tiny_cohort_falls_back_to_pca():
     assert emb.shape == (3, 2)
 
 
+def test_umap_hub_update_is_degree_independent():
+    """Star-graph hub regression (round-4 ADVICE): per-edge clipping
+    alone lets a degree-m hub accumulate up to a 4*m per-axis update
+    in one synchronous sweep (umap-learn's per-edge immediate updates
+    never do), so hubs oscillate on dense graphs. The accumulated
+    per-point update must respect the same +/-4 bound as one edge."""
+    from osteosarcoma_diffusionmodel_tpu.analysis.embedding import (
+        optimize_layout,
+    )
+
+    m = 200  # hub degree
+    leaves = np.arange(1, m + 1)
+    # Symmetric edge list, as fuzzy_simplicial_set emits.
+    rows = np.concatenate([np.zeros(m, np.int64), leaves])
+    cols = np.concatenate([leaves, np.zeros(m, np.int64)])
+    vals = np.ones(2 * m)
+    # Leaves far from the hub so every per-edge gradient saturates its
+    # +/-4 clip, all pulling the hub the same way.
+    y0 = np.zeros((m + 1, 2))
+    y0[1:, 0] = 100.0
+    y1 = optimize_layout(
+        y0, rows, cols, vals, a=1.577, b=0.895,
+        n_epochs=1, neg_samples=0, lr=1.0, seed=0,
+    )
+    hub_step = np.abs(y1[0] - y0[0]).max()
+    assert hub_step <= 4.0 + 1e-9, (
+        f"hub moved {hub_step} in one epoch — accumulated update "
+        "not clipped"
+    )
+    # The unclipped accumulated hub update is the sum of m per-edge
+    # pulls — the regression this test exists for only bites if that
+    # sum exceeds the bound.
+    per_edge = np.abs(y1[1] - y0[1]).max()
+    assert m * per_edge > 4.0, "fixture too weak to detect the bug"
+    # Leaves (degree 1) still move: the clip must not freeze the layout.
+    assert per_edge > 0.01
+
+
 def test_fuzzy_graph_is_symmetric(rng):
     from osteosarcoma_diffusionmodel_tpu.analysis.embedding import (
         fuzzy_simplicial_set,
