@@ -448,6 +448,19 @@ class GenerationConfig:
     # true is accepted as an alias for the default ("copula_joint",
     # generator.py _CAL_ALIAS).
     calibrate_marginals: Any = "copula_joint"
+    # Where the copula calibration pipeline runs:
+    #   "auto"   — on the accelerator when one is attached (the whole
+    #              whiten/recolor/quantile pass is matmuls+sorts; the
+    #              numpy pass costs 4-5 s single-core at the serving
+    #              b1024 bucket vs ~2 ms warm on a v5e — see
+    #              ops/copula_device.py), numpy on CPU-only backends
+    #              and for cohorts beyond the device-path row bound.
+    #   "numpy"  — always the host float64 path (ops/copula.py).
+    #   "device" — force the XLA path even on CPU (parity tests).
+    # Marginals are identical either way (same exact per-gene counts,
+    # same real quantile grid); the patient permutation can differ
+    # within tie-randomization noise (tests/test_copula_device.py).
+    calibration_backend: str = "auto"
     scenarios: List[Scenario] = field(
         default_factory=lambda: [
             Scenario(

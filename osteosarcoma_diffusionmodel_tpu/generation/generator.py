@@ -70,6 +70,8 @@ class SyntheticPatientGenerator:
         self._copula = None
         self._cont_chol = None
         self._joint = None
+        self._device_joint_cal = None
+        self._device_cont_cal = None
         self._latent_prior = None
         # Fused Pallas samplers (ops/fused_sampler.py), probed lazily
         # per variant; key None = DDPM, int = that many DDIM steps;
@@ -310,9 +312,18 @@ class SyntheticPatientGenerator:
 
         cond_rng, sample_rng = jax.random.split(rng)
         conditions = self.create_conditions(num_samples, scenario, cond_rng)
-        samples = np.asarray(
-            jax.block_until_ready(self._sample_raw(conditions, sample_rng))
+        samples = jax.block_until_ready(
+            self._sample_raw(conditions, sample_rng)
         )
+        if self.mesh is not None or not self._device_calibration_enabled(
+            samples.shape[0]
+        ):
+            # Host path (or sharded output): materialize once here, as
+            # before. The device-calibration path keeps the cohort on
+            # the accelerator end to end — raw samples never cross
+            # device->host (measured ~5 MB/s on the tunneled backend;
+            # 21 MB at b1024).
+            samples = np.asarray(samples)
         # fold_in (not a further split) so cond/sample key streams are
         # unchanged for existing checkpoints/seeds; the post key makes
         # the AR mutation draw a pure function of the caller's rng.
@@ -466,6 +477,7 @@ class SyntheticPatientGenerator:
         which deliberately reshape the joint.
         """
         stats = self.data_stats
+        use_device = self._device_calibration_enabled(samples.shape[0])
         raw_mut = samples[:, :m]
         if (
             mode == "copula_joint"
@@ -496,8 +508,16 @@ class SyntheticPatientGenerator:
                     "Joint copula fitted (shrink=%.3g)", self._joint[3]
                 )
             freq, chol, tetra, _ = self._joint
+            if use_device:
+                # Same estimator, on the accelerator: the whole
+                # whiten/recolor/tetra/quantile pass is one XLA program
+                # and the raw cohort never crosses device->host
+                # (ops/copula_device.py; ~2 ms warm vs 4-5 s numpy at
+                # the serving b1024 bucket).
+                cal = self._get_device_joint_cal(freq, chol, tetra, m)
+                return cal.joint(samples, self._tie_seed())
             mutations, cont = joint_transplant(
-                samples, chol, freq, m, tetra=tetra,
+                np.asarray(samples), chol, freq, m, tetra=tetra,
                 tie_rng=np.random.default_rng(self._tie_seed()),
             )
             return mutations, self._quantile_map_continuous(cont, m)
@@ -553,11 +573,18 @@ class SyntheticPatientGenerator:
                 self._cont_chol = fit_continuous_copula_chol(
                     np.asarray(stats["data_matrix"])[:, m:]
                 )
+            if use_device:
+                cal = self._get_device_cont_cal(m)
+                return np.asarray(mutations), cal.continuous(
+                    cont, self._tie_seed()
+                )
             cont = gaussian_transplant(
-                cont, self._cont_chol,
+                np.asarray(cont), self._cont_chol,
                 tie_rng=np.random.default_rng(self._tie_seed()),
             )
-        return mutations, self._quantile_map_continuous(cont, m, mode)
+        return np.asarray(mutations), self._quantile_map_continuous(
+            np.asarray(cont), m, mode
+        )
 
     def _tie_seed(self) -> int:
         """Deterministic seed for rank tie-breaking: bf16 kernel
@@ -565,6 +592,71 @@ class SyntheticPatientGenerator:
         cohorts; ties must break randomly (not by row order) but
         reproducibly for a fixed generation seed."""
         return int(self.config.training.random_seed) + 104729
+
+    def _device_calibration_enabled(self, n: int) -> bool:
+        """True when _calibrate will take the device-resident XLA path
+        (ops/copula_device.py) for an n-row cohort.
+
+        generation.calibration_backend: "auto" engages it off-CPU for
+        cohorts big enough that the host pass dominates (and within
+        the dual-whitening N x N Gram bound); "device" forces it (CPU
+        parity tests); "numpy" disables it. Requires the quantile grid
+        + real cohort in data_stats (same condition as the numpy
+        copula paths)."""
+        mode = self.config.generation.calibrate_marginals
+        if mode is True:
+            mode = "copula_joint"
+        stats = self.data_stats
+        if not mode or stats is None or n <= 2:
+            return False
+        if str(mode) not in ("copula_joint", "copula_full"):
+            return False
+        if "feature_sorted" not in stats or "data_matrix" not in stats:
+            return False
+        backend = getattr(
+            self.config.generation, "calibration_backend", "auto"
+        )
+        if backend == "numpy":
+            return False
+        from ..ops.copula_device import DeviceCalibrator
+
+        if n > DeviceCalibrator.MAX_ROWS:
+            return False
+        if backend == "device":
+            return True
+        return jax.default_backend() != "cpu" and n >= 256
+
+    def _get_device_joint_cal(self, freq, chol, tetra, m: int):
+        if self._device_joint_cal is None:
+            from ..ops.copula_device import DeviceCalibrator
+
+            sorted_real = np.asarray(
+                self.data_stats["feature_sorted"], np.float32
+            )[:, m:]
+            self._device_joint_cal = DeviceCalibrator(
+                m, sorted_real, freq=freq, joint_chol=chol, tetra=tetra
+            )
+            logger.info(
+                "Device-resident joint calibration engaged "
+                "(backend=%s)", jax.default_backend()
+            )
+        return self._device_joint_cal
+
+    def _get_device_cont_cal(self, m: int):
+        if self._device_cont_cal is None:
+            from ..ops.copula_device import DeviceCalibrator
+
+            sorted_real = np.asarray(
+                self.data_stats["feature_sorted"], np.float32
+            )[:, m:]
+            self._device_cont_cal = DeviceCalibrator(
+                m, sorted_real, cont_chol=self._cont_chol
+            )
+            logger.info(
+                "Device-resident continuous calibration engaged "
+                "(backend=%s)", jax.default_backend()
+            )
+        return self._device_cont_cal
 
     def _quantile_map_continuous(
         self, cont: np.ndarray, m: int, mode: str = "copula_joint"
@@ -656,11 +748,13 @@ class SyntheticPatientGenerator:
             "Generating %d synthetic patients (%d scenarios in one batch)...",
             all_cond.shape[0], len(scenarios),
         )
-        samples = np.asarray(
-            jax.block_until_ready(
-                self._sample_raw(all_cond, jax.random.fold_in(rng, 10_000))
-            )
+        samples = jax.block_until_ready(
+            self._sample_raw(all_cond, jax.random.fold_in(rng, 10_000))
         )
+        if self.mesh is not None or not self._device_calibration_enabled(
+            samples.shape[0]
+        ):
+            samples = np.asarray(samples)
         combined = self._postprocess(
             samples, all_cond, rng=jax.random.fold_in(rng, 10_001)
         )

@@ -58,6 +58,7 @@ def test_repo_yaml_matches_code_defaults_on_decision_keys():
     # preset adjudicated by scripts/compare_presets.py.
     decision_keys = [
         "generation.calibrate_marginals",
+        "generation.calibration_backend",
         "generation.sampler",
         "generation.fused_sampler",
         "generation.fused_gn_mode",
