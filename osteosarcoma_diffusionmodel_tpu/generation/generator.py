@@ -315,12 +315,11 @@ class SyntheticPatientGenerator:
         samples = jax.block_until_ready(
             self._sample_raw(conditions, sample_rng)
         )
-        if self.mesh is not None or not self._device_calibration_enabled(
-            samples.shape[0]
-        ):
-            # Host path (or sharded output): materialize once here, as
-            # before. The device-calibration path keeps the cohort on
-            # the accelerator end to end — raw samples never cross
+        if not self._device_calibration_enabled(samples.shape[0]):
+            # Host path (incl. sharded output — the predicate is False
+            # under a mesh): materialize once here, as before. The
+            # device-calibration path keeps the cohort on the
+            # accelerator end to end — raw samples never cross
             # device->host (measured ~5 MB/s on the tunneled backend;
             # 21 MB at b1024).
             samples = np.asarray(samples)
@@ -603,6 +602,12 @@ class SyntheticPatientGenerator:
         parity tests); "numpy" disables it. Requires the quantile grid
         + real cohort in data_stats (same condition as the numpy
         copula paths)."""
+        if self.mesh is not None:
+            # Sharded outputs are materialized host-side in generate();
+            # taking the device path here would re-upload the cohort it
+            # just read back (host->device->host round trip on the slow
+            # link) — the numpy path is strictly cheaper.
+            return False
         mode = self.config.generation.calibrate_marginals
         if mode is True:
             mode = "copula_joint"
@@ -620,7 +625,7 @@ class SyntheticPatientGenerator:
             return False
         from ..ops.copula_device import DeviceCalibrator
 
-        if n > DeviceCalibrator.MAX_ROWS:
+        if not DeviceCalibrator.accepts(n):
             return False
         if backend == "device":
             return True
@@ -751,9 +756,7 @@ class SyntheticPatientGenerator:
         samples = jax.block_until_ready(
             self._sample_raw(all_cond, jax.random.fold_in(rng, 10_000))
         )
-        if self.mesh is not None or not self._device_calibration_enabled(
-            samples.shape[0]
-        ):
+        if not self._device_calibration_enabled(samples.shape[0]):
             samples = np.asarray(samples)
         combined = self._postprocess(
             samples, all_cond, rng=jax.random.fold_in(rng, 10_001)

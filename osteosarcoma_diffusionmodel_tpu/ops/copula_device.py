@@ -156,19 +156,27 @@ def _tetra_resharpen(
 def _quantile_map(cont: jax.Array, sorted_real: jax.Array) -> jax.Array:
     """Within-cohort ranks -> linear interpolation on the real
     per-feature quantile grid (mirrors the generator's
-    _quantile_map_continuous)."""
+    _quantile_map_continuous).
+
+    Scatter formulation: the value at rank i is a per-ROW constant
+    lerp of two real-grid rows (p=(i+0.5)/n is rank-determined), so
+    instead of rank = argsort(argsort) + two full take_along_axis
+    gathers, build the (n, d) table of rank-ordered values directly
+    and scatter it back through the sort order — measured 143 ms ->
+    66 ms at the serving (1024, 5083) shape (the second argsort and
+    both big gathers disappear; outputs bit-identical)."""
     n = cont.shape[0]
     n_real = sorted_real.shape[0]
     order = jnp.argsort(cont, axis=0)
-    ranks = jnp.argsort(order, axis=0)
-    p = (ranks.astype(jnp.float32) + 0.5) / n
-    pos = p * (n_real - 1)
+    pos = ((jnp.arange(n, dtype=jnp.float32) + 0.5) / n) * (n_real - 1)
     lo = jnp.floor(pos).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, n_real - 1)
-    frac = pos - lo
-    low_vals = jnp.take_along_axis(sorted_real, lo, axis=0)
-    high_vals = jnp.take_along_axis(sorted_real, hi, axis=0)
-    return low_vals * (1.0 - frac) + high_vals * frac
+    frac = (pos - lo.astype(jnp.float32))[:, None]
+    vals_by_rank = sorted_real[lo] * (1.0 - frac) + sorted_real[hi] * frac
+    return jnp.put_along_axis(
+        jnp.zeros(cont.shape, vals_by_rank.dtype), order, vals_by_rank,
+        axis=0, inplace=False,
+    )
 
 
 class DeviceCalibrator:
@@ -181,9 +189,13 @@ class DeviceCalibrator:
     device once; per-cohort work (scores, whitening, recolor,
     thresholds, quantile gathers) runs on device.
 
-    ``max_rows``: the dual whitening path materializes an N x N Gram
-    (f32); above this bound callers should use the numpy path (the
-    generator checks ``accepts``).
+    ``MAX_ROWS``: above this bound callers should use the numpy path
+    (the generator gates on ``accepts``). The bound caps the device
+    memory footprint of the pipeline's N x D f32 intermediates
+    (scores/whitened/recolored each ~N*5145*4 B: ~674 MB apiece at the
+    bound) plus, for N < D cohorts, the dual-whitening N x N Gram; at
+    N > D the primal branch runs a fixed D x D eigh instead, so memory
+    — not the Gram — is what grows with N.
     """
 
     MAX_ROWS = 32768
@@ -222,8 +234,9 @@ class DeviceCalibrator:
         )
         self._fns: Dict = {}
 
-    def accepts(self, n: int) -> bool:
-        return n <= self.MAX_ROWS
+    @classmethod
+    def accepts(cls, n: int) -> bool:
+        return n <= cls.MAX_ROWS
 
     # -- jit specializations ------------------------------------------
     def _joint_fn(self, n: int, d: int):

@@ -17,7 +17,10 @@ run_unless() {  # run_unless TPU_ARTIFACT TIMEOUT LOG CMD...
   echo "[$(date -u +%H:%M:%S)] DONE $log rc=$?"
 }
 
-run_unless /root/repo/DEMO_AR_RAW_refreshed_marker 21600 /tmp/demo_ar_raw_cpu.log \
+# Step 1 cannot key off DEMO_AR_RAW.json — a stale pre-fix round-3
+# artifact already exists under that name — so it keys off its own
+# output, making re-runs of the hedge idempotent.
+run_unless /root/repo/DEMO_AR_RAW_CPU.json 21600 /tmp/demo_ar_raw_cpu.log \
   env OSDM_FORCE_CPU=1 DEMO_N=400 DEMO_EPOCHS=600 DEMO_AR=1 DEMO_CALIBRATE=false \
       DEMO_OUT=/root/repo/DEMO_AR_RAW_CPU.json \
   python scripts/demo_full_scale.py

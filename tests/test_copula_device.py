@@ -207,6 +207,18 @@ def test_generator_device_backend_matches_numpy_marginals(
     )
 
 
+def test_mesh_disables_device_calibration(generator_joint_stats):
+    """Sharded outputs are materialized host-side in generate(); the
+    device-calibration predicate must refuse under a mesh even when
+    the backend is forced, or the cohort it just read back would be
+    re-uploaded for a host->device->host round trip."""
+    gen = generator_joint_stats
+    gen.config.generation.calibration_backend = "device"
+    assert gen._device_calibration_enabled(300)
+    gen.mesh = object()  # any non-None mesh
+    assert not gen._device_calibration_enabled(300)
+
+
 def test_accepts_row_bound(fitted):
     fit, sorted_real, raw, m = fitted
     freq, chol, tetra, _ = fit
