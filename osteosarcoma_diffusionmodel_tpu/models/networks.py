@@ -267,6 +267,33 @@ class DiffusionDenoiser(nn.Module):
             self.ar_context_logits(ar_ctx)
         return self(x, t, conditions=conditions)
 
+    def hidden_forward(
+        self, h: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """Encoder/bottleneck/decoder stack from the post-input-
+        projection activation (``input_proj(x) + t_emb + c_proj``) to
+        the pre-output-projection hidden state.
+
+        Factored out of ``__call__`` so the latent-tail sampler
+        (ops/latent_sampler.py) can run the reverse loop entirely in
+        hidden space: every data-space op around this stack is affine,
+        so the wide projections can be applied once per cohort instead
+        of once per step."""
+        skips = []
+        for block in self.encoder:
+            h = block(h, deterministic)
+            skips.append(h)
+
+        h = self.bottleneck(h, deterministic)
+
+        for block in self.decoder:
+            if not skips:
+                break
+            skip = skips.pop()
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = block(h, deterministic)
+        return h
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -284,21 +311,7 @@ class DiffusionDenoiser(nn.Module):
         t_emb = self.time_proj(t_sinusoid)
 
         h = self.input_proj(x.astype(self.dtype))
-        h = h + t_emb + c_proj
-
-        skips = []
-        for block in self.encoder:
-            h = block(h, deterministic)
-            skips.append(h)
-
-        h = self.bottleneck(h, deterministic)
-
-        for block in self.decoder:
-            if not skips:
-                break
-            skip = skips.pop()
-            h = jnp.concatenate([h, skip], axis=-1)
-            h = block(h, deterministic)
+        h = self.hidden_forward(h + t_emb + c_proj, deterministic)
 
         out = self.output_proj(h).astype(jnp.float32)
         if self.input_skip:
