@@ -220,7 +220,7 @@ def _groupnorm(h, g, gt, scale, bias, group_size, gn_mode="f32"):
 
 def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
                   mut_dim=0, interleave=False, quant=None,
-                  gn_mode="bf16"):
+                  gn_mode="bf16", loop_steps=None):
     """Build the kernel body. `layout` describes how the flat ref list
     maps onto layers: a list of ("block", n_in_parts, features) entries
     plus the group-matrix table. Static Python closure — unrolls to a
@@ -535,6 +535,8 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
                 st = f(st)
             return st["x"]
 
+        n_run = T if loop_steps is None else loop_steps
+
         if interleave:
             cpa, cpb = jnp.split(cproj, 2, axis=0)
 
@@ -569,10 +571,10 @@ def _build_kernel(layout, T, tile_b, data_dim, clip_value, noise_mode,
                     )
 
             xa, xb = jnp.split(x_ref[:], 2, axis=0)
-            ya, yb = jax.lax.fori_loop(0, T, body, (xa, xb))
+            ya, yb = jax.lax.fori_loop(0, n_run, body, (xa, xb))
             out_ref[:] = jnp.concatenate([ya, yb], axis=0)
         else:
-            out_ref[:] = jax.lax.fori_loop(0, T, step_half, x_ref[:])
+            out_ref[:] = jax.lax.fori_loop(0, n_run, step_half, x_ref[:])
 
     return kernel
 
@@ -760,14 +762,16 @@ class FusedSampler:
         self._fns = {}
 
     # ------------------------------------------------------------------
-    def _pallas_fn(self, b_padded: int, noise_mode: str):
-        key = (b_padded, noise_mode)
+    def _pallas_fn(self, b_padded: int, noise_mode: str,
+                   loop_steps: Optional[int] = None):
+        key = (b_padded, noise_mode, loop_steps)
         if key in self._fns:
             return self._fns[key]
         tile_b, D, T = self.tile_b, self.data_dim, self.n_loop
         kernel = _build_kernel(
             self.layout, T, tile_b, D,
             self.model.denoised_clip_value, noise_mode,
+            loop_steps=loop_steps,
             mut_dim=self.mut_dim,
             # Buffer mode streams full-tile noise slabs; the
             # half-tile split would mismatch them (parity tests
@@ -863,6 +867,7 @@ class FusedSampler:
         num_samples: Optional[int] = None,
         noise: Optional[jnp.ndarray] = None,
         keep_bf16: bool = False,
+        stop_after: Optional[int] = None,
     ) -> jnp.ndarray:
         """Drop-in equivalent of ConditionalDiffusion.sample for the
         supported config. `noise`: optional (T, B, D) per-step
@@ -870,7 +875,12 @@ class FusedSampler:
         PRNG). `keep_bf16`: skip the f32 output upcast — the loop
         carry is bf16, so the values are bf16-precision either way and
         the device->host readback (the measured bottleneck for warm
-        10k-cohort generates on the tunneled backend) halves."""
+        10k-cohort generates on the tunneled backend) halves.
+        `stop_after`: run only the first N reverse rows and return the
+        intermediate state x_{t(N)} — the data-space HEAD of the
+        latent-tail hybrid (ops/latent_sampler.py), which covers the
+        steps where the x0 clip can bind before the loop switches to
+        hidden space."""
         if num_samples is None:
             num_samples = conditions.shape[0]
         d = self.model.denoiser
@@ -903,7 +913,7 @@ class FusedSampler:
                 noise = jnp.pad(noise, ((0, 0), (0, pad_b), (0, 0)))
             args.append(noise.astype(jnp.float32))
 
-        out = self._pallas_fn(b_padded, noise_mode)(*args)
+        out = self._pallas_fn(b_padded, noise_mode, stop_after)(*args)
         return out[:num_samples].astype(
             jnp.bfloat16 if keep_bf16 else jnp.float32
         )

@@ -61,6 +61,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_sampler import NUM_GROUPS
 
 _UNIFORM_SCALE = float(2.0 * np.sqrt(3.0))  # U(-sqrt3, sqrt3), unit var
 
@@ -333,6 +337,364 @@ class LatentTailSampler:
                 h0 @ self.K_out + self.b_out + self.gains_f32[T - 1] * x
             )
         return jnp.clip(out0, -self.clip_value, self.clip_value)
+
+
+# ----------------------------------------------------------------------
+# Pallas latent-tail kernel
+# ----------------------------------------------------------------------
+def _build_latent_kernel(layout, n_lat, tile_b, noise_mode, gn_mode):
+    """Whole-latent-segment kernel: per batch tile, the hidden-width
+    state, both reconstruction accumulators and every block weight stay
+    VMEM-resident for all steps. Same structural conventions as
+    ops/fused_sampler._build_kernel minus the wide projections: the
+    input projection becomes the A_t/s recursion, the output projection
+    becomes the (H_last, H0) M2 = K_out K_in product, and the D-dim
+    transition noise becomes a hidden-width draw recolored by chol(G).
+    """
+    from .fused_sampler import _groupnorm
+
+    n_enc = layout["n_encoder"]
+
+    def kernel(*refs):
+        seed_ref, coeff_ref, s_ref, cproj_ref, tadd_ref = refs[:5]
+        idx = 5
+        block_entries = []
+        for _kind, n_parts, _feat in layout["blocks"]:
+            parts = list(refs[idx : idx + n_parts])
+            fc2 = refs[idx + n_parts]
+            vecs = refs[idx + n_parts + 1 : idx + n_parts + 7]
+            idx += n_parts + 7
+            block_entries.append((parts, fc2, vecs))
+        m2_ref, mb_ref, lt_ref = refs[idx : idx + 3]
+        idx += 3
+        gmat_refs = refs[idx : idx + 2 * len(layout["gn_features"])]
+        idx += 2 * len(layout["gn_features"])
+        zeta_ref = refs[idx] if noise_mode == "buffer" else None
+        hacc_ref, xi_ref, h0_ref = refs[-3:]
+
+        gn_table = {}
+        for k, feat in enumerate(layout["gn_features"]):
+            gn_table[feat] = (gmat_refs[2 * k], gmat_refs[2 * k + 1])
+
+        if noise_mode == "prng":
+            pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+
+        cproj = cproj_ref[:].astype(jnp.float32)
+        H0 = s_ref.shape[1]
+
+        def dot(a, w_ref):
+            return jnp.dot(
+                a.astype(jnp.bfloat16), w_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+
+        def hidden(h):
+            """enc/bottleneck/dec stack, (tile, H0) -> (tile, H_last);
+            mirrors fused_sampler's stage bodies (decoder concat as a
+            sum of split-row matmuls)."""
+            skips = []
+            for k, (_kind, _n, feat) in enumerate(layout["blocks"]):
+                parts_e, fc2_e, vecs = block_entries[k]
+                inputs = [h]
+                if k > n_enc:
+                    inputs.append(skips.pop())
+                acc = None
+                for part, e in zip(inputs, parts_e):
+                    term = dot(part, e)
+                    acc = term if acc is None else acc + term
+                g, gt = gn_table[feat]
+                h = jax.nn.silu(_groupnorm(
+                    acc + vecs[0][:], g[:], gt[:], vecs[1][:], vecs[2][:],
+                    feat // NUM_GROUPS, gn_mode,
+                ))
+                h = dot(h, fc2_e) + vecs[3][:]
+                h = jax.nn.silu(_groupnorm(
+                    h, g[:], gt[:], vecs[4][:], vecs[5][:],
+                    feat // NUM_GROUPS, gn_mode,
+                ))
+                if k < n_enc:
+                    skips.append(h)
+            return h
+
+        def t_row(k):
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, n_lat + 1), 1)
+                == k
+            ).astype(jnp.float32)
+            return jnp.dot(
+                onehot, tadd_ref[:], preferred_element_type=jnp.float32
+            )
+
+        def zeta_draw(k):
+            if noise_mode == "buffer":
+                return zeta_ref[k].astype(jnp.float32)
+            half = H0 // 2
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((tile_b, half)), jnp.uint32
+            )
+            lo = pltpu.bitcast(bits & 0xFFFF, jnp.int32)
+            hi = pltpu.bitcast(bits >> 16, jnp.int32)
+            u = jnp.concatenate(
+                [lo.astype(jnp.float32), hi.astype(jnp.float32)], axis=1
+            ) * (1.0 / (1 << 16))
+            return (u - 0.5) * _UNIFORM_SCALE
+
+        def body(k, carry):
+            s, hacc, xi = carry
+            h = hidden(s + t_row(k) + cproj)
+            o_lat = dot(h, m2_ref) + mb_ref[:]
+            z = zeta_draw(k)
+            n_inj = dot(z, lt_ref)
+            A = coeff_ref[k, 0]
+            c0 = coeff_ref[k, 1]
+            sv = coeff_ref[k, 2]
+            w = coeff_ref[k, 3]
+            v = coeff_ref[k, 4]
+            return (
+                A * s + c0 * o_lat + sv * n_inj,
+                hacc + w * h,
+                xi + v * z,
+            )
+
+        H_last = layout["h_last"]
+        init = (
+            s_ref[:].astype(jnp.float32),
+            jnp.zeros((tile_b, H_last), jnp.float32),
+            jnp.zeros((tile_b, H0), jnp.float32),
+        )
+        s, hacc, xi = jax.lax.fori_loop(0, n_lat, body, init)
+        # Final (t=0) row: only the hidden state is needed — the wide
+        # x0 assembly (clip included) happens outside the kernel.
+        h0 = hidden(s + t_row(n_lat) + cproj)
+        hacc_ref[:] = hacc
+        xi_ref[:] = xi
+        h0_ref[:] = h0
+
+    return kernel
+
+
+class LatentFusedSampler:
+    """Hybrid data-space head + Pallas latent-tail DDPM sampler.
+
+    Composes the fused data-space kernel (ops/fused_sampler.py,
+    `stop_after`) for the clip-sensitive head with the VMEM-resident
+    latent-segment kernel above, then reconstructs the wide cohort in
+    one shot. Tables come from LatentTailSampler; output distribution
+    is identical to the data-space samplers' (see module docstring).
+    """
+
+    def __init__(self, model, params, head_steps: int = 1,
+                 tile_b: int = 512, interpret: bool = False,
+                 gn_mode: str = "bf16"):
+        from .fused_sampler import (
+            FusedSampler,
+            _block_weights,
+            _group_mats,
+            supports_fused,
+        )
+
+        if not (supports_latent(model) and supports_fused(model)):
+            raise ValueError(
+                "model configuration not supported by the fused "
+                "latent-tail sampler"
+            )
+        self.tables = LatentTailSampler(model, params, head_steps)
+        self.model = model
+        self.head = FusedSampler(
+            model, params, tile_b=tile_b, interpret=interpret,
+            gn_mode=gn_mode,
+        )
+        self.tile_b = tile_b
+        self.interpret = interpret
+        self.gn_mode = gn_mode
+        self.head_steps = head_steps
+        d = model.denoiser
+        self.data_dim = d.data_dim
+        hidden = list(d.hidden_dims)
+        self.H0 = hidden[0]
+
+        p = jax.tree_util.tree_map(np.asarray, params)
+        weights = []
+        layout = {"n_encoder": len(hidden) - 1, "blocks": []}
+        enc_in = hidden[0]
+        enc_feats = []
+        for i, feat in enumerate(hidden[1:]):
+            weights += _block_weights(p[f"enc_{i}"], [enc_in], False)
+            layout["blocks"].append(("enc", 1, feat))
+            enc_feats.append(feat)
+            enc_in = feat
+        weights += _block_weights(p["bottleneck"], [enc_in], False)
+        layout["blocks"].append(("bottleneck", 1, hidden[-1]))
+        dec_in = hidden[-1]
+        for j, i in enumerate(range(len(hidden) - 2, -1, -1)):
+            if not enc_feats:
+                break
+            skip_feat = enc_feats.pop()
+            feat = hidden[i]
+            weights += _block_weights(
+                p[f"dec_{j}"], [dec_in, skip_feat], False
+            )
+            layout["blocks"].append(("dec", 2, feat))
+            dec_in = feat
+        layout["h_last"] = layout["blocks"][-1][2]
+        layout["gn_features"] = sorted(
+            {f for _, _, f in layout["blocks"]}
+        )
+        self.H_last = layout["h_last"]
+        weights += [
+            jnp.asarray(self.tables.M2, jnp.bfloat16),
+            jnp.asarray(np.asarray(self.tables.m_b).reshape(1, -1),
+                        jnp.float32),
+            jnp.asarray(self.tables.L_T, jnp.bfloat16),
+        ]
+        gmats = []
+        for feat in layout["gn_features"]:
+            g, gt = _group_mats(feat, gn_mode)
+            gmats += [g, gt]
+        self.weights = weights
+        self.gmats = gmats
+        self.layout = layout
+
+        t = self.tables
+        # (n_lat, 5): A, c0, sv (segment-local), w, v.
+        self.coeffs = jnp.asarray(
+            np.stack([
+                np.asarray(t.A), np.asarray(t.seg_c0),
+                np.asarray(t.seg_sv), np.asarray(t.w), np.asarray(t.v),
+            ], axis=1).astype(np.float32)
+        ) if len(t.seg_rows) else jnp.zeros((0, 5), jnp.float32)
+        self.n_lat = int(len(t.seg_rows))
+        # t_add rows for the segment plus the final (t=0) row.
+        self.tadd_seg = t.t_add[self.tables.head_steps :]
+        self._fns = {}
+
+    # ------------------------------------------------------------------
+    def _pallas_fn(self, b_padded: int, noise_mode: str):
+        key = (b_padded, noise_mode)
+        if key in self._fns:
+            return self._fns[key]
+        tile_b, H0, H_last = self.tile_b, self.H0, self.H_last
+        kernel = _build_latent_kernel(
+            self.layout, self.n_lat, tile_b, noise_mode, self.gn_mode
+        )
+
+        def full_spec(shape, space=pltpu.VMEM):
+            ndim = len(shape)
+            return pl.BlockSpec(
+                shape, lambda i, _n=ndim: (0,) * _n, memory_space=space
+            )
+
+        in_specs = [
+            full_spec((1, 1), pltpu.SMEM),
+            full_spec(self.coeffs.shape, pltpu.SMEM),
+            pl.BlockSpec((tile_b, H0), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # s_init
+            pl.BlockSpec((tile_b, H0), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # c_proj
+            full_spec(self.tadd_seg.shape),
+        ]
+        for w in self.weights + self.gmats:
+            in_specs.append(full_spec(w.shape))
+        if noise_mode == "buffer":
+            in_specs.append(
+                pl.BlockSpec((self.n_lat, tile_b, H0),
+                             lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+        out_specs = [
+            pl.BlockSpec((tile_b, H_last), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, H0), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, H_last), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b_padded, H_last), jnp.float32),
+            jax.ShapeDtypeStruct((b_padded, H0), jnp.float32),
+            jax.ShapeDtypeStruct((b_padded, H_last), jnp.float32),
+        ]
+        fn = pl.pallas_call(
+            kernel,
+            grid=(b_padded // tile_b,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=self.interpret,
+        )
+        self._fns[key] = jax.jit(fn)
+        return self._fns[key]
+
+    # ------------------------------------------------------------------
+    def sample(
+        self,
+        conditions: jnp.ndarray,
+        rng: jax.Array,
+        num_samples: Optional[int] = None,
+        noise: Optional[jnp.ndarray] = None,
+        zeta: Optional[jnp.ndarray] = None,
+        eta: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Drop-in equivalent of FusedSampler.sample for the supported
+        config. `noise`/`zeta`/`eta`: (T, B, D) head transition noise,
+        (n_lat, B, H0) latent draws and the (B, D) reconstruction
+        residual for parity tests — deriving zeta_t = L^-1 K^T z_t and
+        eta = sum_t v_t z_t / sqrt(v2) from a wide noise stream makes
+        the hybrid reproduce the data-space loop exactly. Production
+        runs use the on-chip PRNG. Returns float32 (the
+        reconstruction's wide algebra runs f32)."""
+        if num_samples is None:
+            num_samples = conditions.shape[0]
+        t = self.tables
+        T, D, tile_b = t.T, self.data_dim, self.tile_b
+        head_rng, seed_rng, eta_rng = jax.random.split(rng, 3)
+
+        # --- data-space head (clip applied full-width) ----------------
+        x_head = self.head.sample(
+            conditions, head_rng, num_samples=num_samples,
+            noise=noise, stop_after=self.head_steps, keep_bf16=True,
+        ).astype(jnp.float32)
+
+        c_proj = t._c_proj(conditions)
+        pad_b = -num_samples % tile_b
+        b_padded = num_samples + pad_b
+        if pad_b:
+            x_pad = jnp.pad(x_head, ((0, pad_b), (0, 0)))
+            c_pad = jnp.pad(c_proj, ((0, pad_b), (0, 0)))
+        else:
+            x_pad, c_pad = x_head, c_proj
+        s_init = x_pad @ t.K_in
+
+        seed = jax.random.bits(seed_rng, (), jnp.uint32).astype(
+            jnp.int32
+        ).reshape(1, 1)
+        args = [seed, self.coeffs, s_init, c_pad, self.tadd_seg]
+        args += self.weights + self.gmats
+        noise_mode = "prng" if zeta is None else "buffer"
+        if zeta is not None:
+            assert zeta.shape == (self.n_lat, num_samples, self.H0)
+            if pad_b:
+                zeta = jnp.pad(zeta, ((0, 0), (0, pad_b), (0, 0)))
+            args.append(zeta.astype(jnp.float32))
+
+        hacc, xi, h0 = self._pallas_fn(b_padded, noise_mode)(*args)
+        hacc = hacc[:num_samples]
+        xi = xi[:num_samples]
+        h0 = h0[:num_samples]
+
+        # --- one-time wide reconstruction ------------------------------
+        x1 = t.c_x * x_head + hacc @ t.K_out + t.c_beta * t.b_out
+        if eta is None:
+            eta = jax.random.normal(eta_rng, (num_samples, D), jnp.float32)
+        else:
+            eta = eta.astype(jnp.float32)
+        resid = eta - (eta @ t.K_in) @ t.R
+        x1 = x1 + xi @ t.C_T + np.sqrt(t.v2) * resid
+        out0 = h0 @ t.K_out + t.b_out + t.gains_f32[T - 1] * x1
+        return jnp.clip(out0, -t.clip_value, t.clip_value)
 
 
 # ----------------------------------------------------------------------

@@ -169,6 +169,54 @@ def test_distribution_mode_moments_match_scan():
     assert np.abs(cl - cr).max() < 0.25
 
 
+def test_pallas_latent_matches_dataspace_interpret():
+    """Interpret-mode kernel hybrid vs the full-width f32 loop with
+    matched noise: the head consumes the wide buffer directly, the
+    latent segment its zeta_t = L^-1 K^T z_t projections, and the
+    reconstruction residual eta = sum v_t z_t / sqrt(v2) — together
+    these reproduce the data-space trajectory exactly, so the only
+    differences left are the kernel's bf16 matmul/GN casts."""
+    from osteosarcoma_diffusionmodel_tpu.ops.latent_sampler import (
+        LatentFusedSampler,
+    )
+
+    model, params, dims = make_model()
+    T, D = model.schedule.num_steps, dims.data_dim
+    B = 32  # two 16-row tiles
+    cond = jax.random.normal(
+        jax.random.PRNGKey(1), (B, dims.condition_dim)
+    )
+    rng = jax.random.PRNGKey(2)
+    noise = jax.random.normal(jax.random.PRNGKey(3), (T, B, D), jnp.float32)
+
+    for head in (1, 3):
+        sampler = LatentFusedSampler(
+            model, params, head_steps=head, tile_b=16, interpret=True
+        )
+        t = sampler.tables
+        # Derive the latent-segment randomness from the wide stream.
+        seg = noise[head : T - 1]  # (n_lat, B, D)
+        L_inv_T = np.linalg.inv(np.asarray(t.L_T))
+        zeta = (seg @ t.K_in) @ jnp.asarray(L_inv_T)
+        v = np.asarray(t.v)
+        eta = jnp.einsum("k,kbd->bd", jnp.asarray(v), seg) / np.sqrt(
+            t.v2
+        )
+        out = sampler.sample(cond, rng, noise=noise, zeta=zeta, eta=eta)
+
+        # The fused head draws x_T internally from its rng split.
+        head_rng = jax.random.split(rng, 3)[0]
+        init_rng = jax.random.split(head_rng)[0]
+        x_init = jax.random.normal(init_rng, (B, D), jnp.bfloat16).astype(
+            jnp.float32
+        )
+        ref = dataspace_loop(model, params, cond, x_init, noise)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=0.15, rtol=0.05
+        )
+        assert float(np.std(np.asarray(ref))) > 0.05
+
+
 def test_conditions_have_effect():
     model, params, dims = make_model()
     sampler = LatentTailSampler(model, params, head_steps=1)
